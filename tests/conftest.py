@@ -1,0 +1,30 @@
+"""Test harness: 8 virtual CPU devices so every sharding/collective test runs
+without a TPU pod (SURVEY.md §4.3 strategy)."""
+import os
+
+os.environ["JAX_PLATFORMS"] = "cpu"  # force: the shell env pins a TPU platform
+flags = os.environ.get("XLA_FLAGS", "")
+if "xla_force_host_platform_device_count" not in flags:
+    os.environ["XLA_FLAGS"] = (
+        flags + " --xla_force_host_platform_device_count=8").strip()
+
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import jax  # noqa: E402
+import pytest  # noqa: E402
+
+# This jax build's TPU plugin ignores the JAX_PLATFORMS env var; the config
+# route does work (must run before backend init).
+jax.config.update("jax_platforms", "cpu")
+
+# This build's XLA CPU backend runs f32 matmuls at reduced (bf16-class)
+# precision by default; parity tests need true f32 accumulation.
+jax.config.update("jax_default_matmul_precision", "highest")
+
+
+@pytest.fixture(scope="session")
+def eight_devices():
+    assert len(jax.devices()) == 8
+    return jax.devices()

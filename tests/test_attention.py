@@ -1,0 +1,73 @@
+"""Pallas fused-attention kernel vs XLA reference (SURVEY.md §4.4), run in
+interpreter mode on CPU."""
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from xfm_tpu.ops.attention import mask_to_bias
+from xfm_tpu.ops.flash_attention import (_xla_reference,
+                                         _fused_attention_fwd_impl,
+                                         flash_attention)
+
+
+def rand(shape, key):
+    return jax.random.normal(jax.random.PRNGKey(key), shape, jnp.float32)
+
+
+@pytest.mark.parametrize("B,Nq,Nk,H,D", [
+    (2, 30, 30, 4, 16),      # text-sized, unaligned
+    (1, 197, 197, 3, 64),    # ViT 224/16 + cls
+    (2, 16, 128, 2, 32),     # cross-attention, q != k
+])
+def test_fused_matches_xla_nobias(B, Nq, Nk, H, D):
+    q = rand((B, Nq, H, D), 0)
+    k = rand((B, Nk, H, D), 1)
+    v = rand((B, Nk, H, D), 2)
+    scale = D ** -0.5
+    ref = _xla_reference(q, k, v, None, scale)
+    out = _fused_attention_fwd_impl(q, k, v, None, scale, interpret=True)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=2e-3,
+                               rtol=1e-2)
+
+
+def test_fused_with_relpos_bias():
+    B, N, H, D = 2, 17, 4, 16
+    q, k, v = rand((B, N, H, D), 0), rand((B, N, H, D), 1), rand((B, N, H, D), 2)
+    bias = rand((1, H, N, N), 3)  # rel-pos-bias shape
+    scale = D ** -0.5
+    ref = _xla_reference(q, k, v, bias, scale)
+    out = _fused_attention_fwd_impl(q, k, v, bias, scale, interpret=True)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=2e-3,
+                               rtol=1e-2)
+
+
+def test_fused_with_padding_mask():
+    B, N, H, D = 2, 12, 2, 8
+    q, k, v = rand((B, N, H, D), 0), rand((B, N, H, D), 1), rand((B, N, H, D), 2)
+    mask = jnp.ones((B, N), jnp.int32).at[:, 8:].set(0)
+    bias = mask_to_bias(mask)  # [B,1,1,N]
+    scale = D ** -0.5
+    ref = _xla_reference(q, k, v, bias, scale)
+    out = _fused_attention_fwd_impl(q, k, v, bias, scale, interpret=True)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=2e-3,
+                               rtol=1e-2)
+
+
+def test_fused_backward_matches_xla():
+    B, N, H, D = 1, 20, 2, 16
+    q, k, v = rand((B, N, H, D), 0), rand((B, N, H, D), 1), rand((B, N, H, D), 2)
+    bias = rand((1, H, N, N), 3)
+    scale = D ** -0.5
+
+    def f_ref(q, k, v, b):
+        return jnp.sum(_xla_reference(q, k, v, b, scale) ** 2)
+
+    def f_fused(q, k, v, b):
+        return jnp.sum(flash_attention(q, k, v, b, scale, True) ** 2)
+
+    g_ref = jax.grad(f_ref, argnums=(0, 1, 2, 3))(q, k, v, bias)
+    g_fus = jax.grad(f_fused, argnums=(0, 1, 2, 3))(q, k, v, bias)
+    for a, b in zip(g_ref, g_fus):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=3e-3,
+                                   rtol=1e-2)

@@ -1,0 +1,123 @@
+"""Data layer tests: masking generators, tokenizer, sharded reader, streams."""
+import json
+import os
+
+import numpy as np
+import pytest
+
+from xfm_tpu.data import (BlockMaskingGenerator, ImageTextStream,
+                          ShardedLineReader, SimpleTokenizer,
+                          TextMaskingGenerator, TextPreprocessor, TextStream,
+                          pre_caption, split_shard)
+from xfm_tpu.data.transforms import TrainTransform, TestTransform
+
+
+def test_block_masking_exact_count():
+    g = BlockMaskingGenerator(14, num_masking_patches=75, min_num_patches=16,
+                              rng=np.random.default_rng(0))
+    for _ in range(10):
+        m = g()
+        assert m.shape == (14, 14)
+        assert m.sum() == 75
+    b = g.batch(4)
+    assert b.shape == (4, 196) and b.dtype == bool
+    assert (b.sum(1) == 75).all()
+
+
+def test_text_masking_counts_and_cls():
+    tok = SimpleTokenizer.from_texts(["a quick brown fox jumps over dogs"])
+    gen = TextMaskingGenerator(tok, mask_prob=0.5, max_masks=4,
+                               rng=np.random.default_rng(0))
+    toks = [tok.cls_token] + tok.tokenize("a quick brown fox jumps over")
+    out, pos = gen(list(toks))
+    assert 1 <= len(pos) <= 4
+    assert 0 not in pos  # cls never masked
+    assert len(out) == len(toks)
+
+
+def test_pre_caption():
+    assert pre_caption("Hello, World! A/B-test.", 30) == "hello world a b test"
+    assert pre_caption("one two three four", 2) == "one two"
+
+
+def test_preprocessor_shapes():
+    tok = SimpleTokenizer.from_texts(["the cat sat on the mat again"])
+    prep = TextPreprocessor(tok, max_words=10, max_tokens=8, max_masks=3,
+                            mask_prob=0.5, rng=np.random.default_rng(0))
+    ids, atts, idsm, mpos, mids = prep.encode_masked("the cat sat on the mat")
+    assert ids.shape == (8,) and atts.shape == (8,)
+    assert idsm.shape == (8,) and mpos.shape == (3,) and mids.shape == (3,)
+    assert ids[0] == tok.cls_token_id
+    # masked labels either PAD(-100) or the original ids at masked_pos
+    for p, m in zip(mpos, mids):
+        if m != -100:
+            assert ids[p] == m
+
+
+def test_split_shard():
+    files = list(range(10))
+    parts = [split_shard(files, r, 4) for r in range(4)]
+    assert sum(parts, []) == files
+
+
+def test_sharded_reader(tmp_path):
+    for i in range(4):
+        with open(tmp_path / f"part{i}.jsonl", "w") as f:
+            for j in range(5):
+                f.write(json.dumps({"desc": f"f{i}r{j}"}) + "\n")
+    r0 = ShardedLineReader(str(tmp_path), rank=0, world_size=2,
+                           shuffle=False, repeat=False)
+    r1 = ShardedLineReader(str(tmp_path), rank=1, world_size=2,
+                           shuffle=False, repeat=False)
+    l0, l1 = list(r0), list(r1)
+    assert len(l0) == len(l1) == 10
+    assert set(l0).isdisjoint(l1)
+
+
+def test_image_text_stream(tmp_path):
+    from PIL import Image
+
+    img_path = tmp_path / "img.png"
+    Image.new("RGB", (64, 48), (120, 30, 200)).save(img_path)
+    with open(tmp_path / "data.jsonl", "w") as f:
+        for j in range(8):
+            f.write(json.dumps({"binary": str(img_path),
+                                "desc": f"a photo number {j}"}) + "\n")
+    cfg = dict(image_res=32, patch_size=16, max_words=10, max_tokens=12,
+               max_masks=3, mask_prob=0.5, skipgram_prb=0.2, skipgram_size=3,
+               mask_whole_word=False, num_masking_patches=2,
+               min_num_patches=1,
+               images={"image_key": "binary", "is_image_rpath": True,
+                       "caption_key": "desc", "batch_size": 4})
+    tok = SimpleTokenizer.from_texts(["a photo number 1 2 3 4 5 6 7"])
+    stream = ImageTextStream(str(tmp_path / "data.jsonl"), cfg, tok,
+                             TrainTransform(32, seed=0), batch_size=4)
+    batch = next(iter(stream))
+    assert batch["images"].shape == (4, 32, 32, 3)
+    assert batch["text_ids"].shape == (4, 12)
+    assert batch["image_mask"].shape == (4, 4)
+    assert batch["image_mask"].sum(1).tolist() == [2, 2, 2, 2]
+
+
+def test_text_stream(tmp_path):
+    with open(tmp_path / "t.jsonl", "w") as f:
+        for j in range(10):
+            f.write(json.dumps({"desc": f"some text line {j} with words"})
+                    + "\n")
+    cfg = dict(texts={"text_key": "desc", "batch_size": 5, "max_words": 10,
+                      "max_tokens": 16, "max_masks": 3, "mask_prob": 0.15,
+                      "mask_whole_word": False})
+    tok = SimpleTokenizer.from_texts(["some text line with words 1 2 3"])
+    batch = next(iter(TextStream(str(tmp_path / "t.jsonl"), cfg, tok)))
+    assert batch["text_ids"].shape == (5, 16)
+    assert batch["masked_ids"].shape == (5, 3)
+
+
+def test_transforms_output():
+    from PIL import Image
+
+    img = Image.new("RGB", (100, 80), (255, 0, 0))
+    out = TrainTransform(32, seed=0)(img)
+    assert out.shape == (32, 32, 3) and out.dtype == np.float32
+    out = TestTransform(48)(img)
+    assert out.shape == (48, 48, 3)

@@ -1,0 +1,83 @@
+"""Loss-function unit tests against hand-computed / torch-checked values."""
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from xfm_tpu.models import losses
+from xfm_tpu.models.text_encoder import cross_entropy, per_sample_lm_loss
+
+
+def test_contrastive_loss_identity():
+    # orthonormal features, temp=1: logits = I → loss = -log softmax diag
+    f = jnp.eye(4, 8)
+    loss = losses.contrastive_loss(f, f, jnp.asarray(1.0))
+    expected = -np.log(np.exp(1.0) / (np.exp(1.0) + 3 * np.exp(0.0)))
+    np.testing.assert_allclose(float(loss), expected, rtol=1e-5)
+
+
+def test_contrastive_loss_idx_duplicates():
+    f = jnp.eye(4, 8)
+    idx = jnp.array([0, 0, 1, 2])  # first two are the same image
+    loss = losses.contrastive_loss(f, f, jnp.asarray(1.0), idx=idx)
+    assert np.isfinite(float(loss))
+    # duplicate-aware loss ≤ naive loss is not guaranteed, just sanity:
+    assert float(loss) > 0
+
+
+def test_hard_negative_never_selects_positive():
+    rng = jax.random.PRNGKey(0)
+    f = jax.random.normal(jax.random.PRNGKey(1), (16, 8))
+    f = f / jnp.linalg.norm(f, axis=-1, keepdims=True)
+    for seed in range(5):
+        img_neg, txt_neg = losses.hard_negative_indices(
+            jax.random.PRNGKey(seed), f, f, jnp.asarray(0.07))
+        assert not np.any(np.asarray(img_neg) == np.arange(16))
+        assert not np.any(np.asarray(txt_neg) == np.arange(16))
+
+
+def test_mim_mse_matches_naive():
+    rng = np.random.RandomState(0)
+    pred = jnp.asarray(rng.randn(2, 5, 4).astype(np.float32))
+    tgt = jnp.asarray(rng.randn(2, 5, 4).astype(np.float32))
+    mask = jnp.asarray(np.array([[1, 0, 1, 0], [0, 1, 0, 0]], bool))
+    got = losses.mim_mse_loss(pred, tgt, mask, cls_too=True)
+    # naive: torch MSELoss mean over selected patches + cls mse
+    p, t = np.asarray(pred), np.asarray(tgt)
+    sel = np.asarray(mask)
+    naive = np.mean((p[:, 1:][sel] - t[:, 1:][sel]) ** 2) + \
+        np.mean((p[:, 0] - t[:, 0]) ** 2)
+    np.testing.assert_allclose(float(got), naive, rtol=1e-5)
+
+
+def test_bbox_loss_perfect_boxes():
+    boxes = jnp.asarray([[0.5, 0.5, 0.2, 0.2], [0.3, 0.4, 0.1, 0.3]])
+    l1, giou = losses.bbox_loss(boxes, boxes)
+    np.testing.assert_allclose(float(l1), 0.0, atol=1e-7)
+    np.testing.assert_allclose(float(giou), 0.0, atol=1e-6)
+
+
+def test_bbox_loss_is_image_weighting():
+    pred = jnp.asarray([[0.5, 0.5, 0.2, 0.2], [0.3, 0.4, 0.1, 0.3]])
+    tgt = jnp.asarray([[0.6, 0.5, 0.2, 0.2], [0.3, 0.4, 0.1, 0.3]])
+    is_image = jnp.asarray([1.0, 0.0])  # first sample excluded
+    l1, giou = losses.bbox_loss(pred, tgt, is_image)
+    np.testing.assert_allclose(float(l1), 0.0, atol=1e-7)
+
+
+def test_cross_entropy_ignore_index():
+    logits = jnp.asarray(np.random.RandomState(0).randn(2, 3, 5).astype(np.float32))
+    labels = jnp.asarray([[1, -100, 2], [-100, -100, 0]])
+    got = cross_entropy(logits, labels)
+    lp = jax.nn.log_softmax(logits, -1)
+    naive = -(lp[0, 0, 1] + lp[0, 2, 2] + lp[1, 2, 0]) / 3
+    np.testing.assert_allclose(float(got), float(naive), rtol=1e-6)
+
+
+def test_per_sample_lm_loss_sums():
+    logits = jnp.asarray(np.random.RandomState(0).randn(2, 3, 5).astype(np.float32))
+    labels = jnp.asarray([[1, 2, -100], [0, -100, -100]])
+    got = per_sample_lm_loss(logits, labels)
+    assert got.shape == (2,)
+    lp = jax.nn.log_softmax(logits, -1)
+    np.testing.assert_allclose(float(got[0]),
+                               float(-(lp[0, 0, 1] + lp[0, 1, 2])), rtol=1e-6)

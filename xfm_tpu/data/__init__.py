@@ -1,0 +1,10 @@
+from .block_masking import BlockMaskingGenerator
+from .text_masking import TextMaskingGenerator
+from .tokenization import build_tokenizer, SimpleTokenizer
+from .jsonl import ShardedLineReader, split_shard
+from .transforms import (TrainTransform, TestTransform, build_transforms,
+                         decode_image, normalize, CLIP_MEAN, CLIP_STD)
+from .pretrain_data import (ImageTextStream, TextStream, ImageStream,
+                            TextPreprocessor, pre_caption, PAD_MASK_LABEL)
+from .randaugment import RandomAugment
+from . import io

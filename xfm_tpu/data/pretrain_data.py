@@ -1,0 +1,253 @@
+"""Pretraining input streams (reference dataset/pretrain_dataset.py).
+
+Python iterators over sharded JSONL producing *fixed-shape numpy batches*
+(dict of arrays), ready for `core.mesh.shard_batch`. Streams:
+
+- ImageTextStream  — image-text pairs (reference ImageTextJsonDataset:154-313)
+- TextStream       — text-only MLM (reference TextJsonDataset:645-738)
+- ImageStream      — image-only / ImageNet MIM source (reference
+                     ImageJsonDataset:315-394)
+
+Broken samples are skipped with an optional log
+(reference dataset/pretrain_dataset.py:258-262). The MIM block mask is
+attached per-batch here on the host (reference generates it inside the model,
+models/beit2.py:431-441).
+"""
+from __future__ import annotations
+
+import copy
+import re
+from typing import Iterator, Optional
+
+import numpy as np
+
+from .block_masking import BlockMaskingGenerator
+from .jsonl import ShardedLineReader
+from .text_masking import TextMaskingGenerator
+from .transforms import decode_image
+
+PAD_MASK_LABEL = -100
+
+
+def pre_caption(caption: str, max_words: int) -> str:
+    """Caption cleanup (reference dataset/utils.py:39-66)."""
+    caption = re.sub(r"([,.'!?\"()*#:;~])", " ", caption.lower())
+    caption = caption.replace("-", " ").replace("/", " ")
+    caption = caption.replace("<person>", "person")
+    caption = re.sub(r"\s{2,}", " ", caption).rstrip("\n").strip(" ")
+    words = caption.split(" ")
+    if len(words) > max_words:
+        caption = " ".join(words[:max_words])
+    return caption
+
+
+class TextPreprocessor:
+    """tokenize → truncate+eos → mask → pad to (max_tokens, max_masks)
+    (reference dataset/pretrain_dataset.py:264-298)."""
+
+    def __init__(self, tokenizer, max_words=30, max_tokens=30, max_masks=15,
+                 mask_prob=0.5, skipgram_prb=0.2, skipgram_size=3,
+                 mask_whole_word=False, rng=None):
+        self.tok = tokenizer
+        self.max_words, self.max_tokens = max_words, max_tokens
+        self.max_masks = max_masks
+        self.cls = tokenizer.cls_token
+        self.eos = tokenizer.sep_token
+        self.pad_id = tokenizer.pad_token_id
+        self.masker = TextMaskingGenerator(
+            tokenizer, mask_prob, max_masks, skipgram_prb, skipgram_size,
+            mask_whole_word, rng=rng)
+
+    def encode(self, text: str):
+        """→ (text_ids, text_atts) without masking."""
+        text = pre_caption(text, self.max_words)
+        tokens = [self.cls] + self.tok.tokenize(text)[: self.max_tokens - 2]
+        tokens = tokens + [self.eos]
+        ids = self.tok.convert_tokens_to_ids(tokens)
+        n = len(ids)
+        pad = self.max_tokens - n
+        return (np.asarray(ids + [self.pad_id] * pad, np.int32),
+                np.asarray([1] * n + [0] * pad, np.int32))
+
+    def encode_masked(self, text: str):
+        """→ (ids, atts, ids_masked, masked_pos, masked_ids)."""
+        text = pre_caption(text, self.max_words)
+        tokens = [self.cls] + self.tok.tokenize(text)[: self.max_tokens - 2]
+        tokens = tokens + [self.eos]
+        if len(tokens) < 2:
+            raise ValueError("too-short text")
+        ids = self.tok.convert_tokens_to_ids(tokens)
+        masked_tokens, masked_pos = self.masker(copy.deepcopy(tokens))
+        ids_masked = self.tok.convert_tokens_to_ids(masked_tokens)
+        masked_ids = [ids[p] for p in masked_pos]
+
+        n = len(ids)
+        pad = self.max_tokens - n
+        mpad = self.max_masks - len(masked_ids)
+        return (np.asarray(ids + [self.pad_id] * pad, np.int32),
+                np.asarray([1] * n + [0] * pad, np.int32),
+                np.asarray(ids_masked + [self.pad_id] * pad, np.int32),
+                np.asarray(list(masked_pos) + [0] * mpad, np.int32),
+                np.asarray(masked_ids + [PAD_MASK_LABEL] * mpad, np.int32))
+
+
+def _get_caption(caption, rng, language=None):
+    """list / str / multilingual-dict captions
+    (reference dataset/pretrain_dataset.py:206-223)."""
+    if isinstance(caption, list):
+        caption = caption[rng.integers(0, len(caption))]
+    if isinstance(caption, dict):
+        if language is not None:
+            caption = caption[language]
+        else:
+            vals = list(caption.values())
+            caption = vals[rng.integers(0, len(vals))]
+    if not isinstance(caption, str):
+        raise ValueError(f"bad caption {type(caption)}")
+    return caption
+
+
+class ImageTextStream:
+    """→ batches {images, text_ids, text_atts, text_ids_masked, masked_pos,
+    masked_ids, image_mask}."""
+
+    def __init__(self, files, config: dict, tokenizer, transform,
+                 rank=0, world_size=1, config_key="images",
+                 batch_size: Optional[int] = None, seed=0,
+                 with_image_mask=True, is_aux=False):
+        sub = config.get(config_key, {}) or {}
+        self.reader = ShardedLineReader(files, rank, world_size, seed=seed)
+        self.image_key = sub.get("image_key", "binary")
+        self.is_image_rpath = sub.get("is_image_rpath", False)
+        self.caption_key = (sub.get("aux_caption_key") if is_aux
+                            else sub.get("caption_key", "desc"))
+        self.language = sub.get("language_chosen")
+        self.batch_size = batch_size or sub.get("batch_size", 32)
+        self.transform = transform
+        self.rng = np.random.default_rng(seed + rank)
+        self.print_broken = config.get("print_broken_data", False)
+        self.prep = TextPreprocessor(
+            tokenizer,
+            max_words=config.get("max_words", 30),
+            max_tokens=config.get("max_tokens", 30),
+            max_masks=config.get("max_masks", 15),
+            mask_prob=config.get("mask_prob", 0.5),
+            skipgram_prb=config.get("skipgram_prb", 0.2),
+            skipgram_size=config.get("skipgram_size", 3),
+            mask_whole_word=config.get("mask_whole_word", False),
+            rng=self.rng)
+        self.with_image_mask = with_image_mask
+        grid = config.get("image_res", 224) // config.get("patch_size", 16)
+        self.block_masker = BlockMaskingGenerator(
+            grid, config.get("num_masking_patches", 75),
+            config.get("min_num_patches", 16), rng=self.rng)
+
+    def examples(self) -> Iterator[dict]:
+        for ann in self.reader.iter_json():
+            try:
+                caption = _get_caption(ann[self.caption_key], self.rng,
+                                       self.language)
+                img = decode_image(ann[self.image_key]
+                                   if self.is_image_rpath
+                                   else _maybe_b64(ann[self.image_key],
+                                                   self.rng))
+                image = self.transform(img)
+                ids, atts, idsm, mpos, mids = self.prep.encode_masked(caption)
+                yield dict(images=image, text_ids=ids, text_atts=atts,
+                           text_ids_masked=idsm, masked_pos=mpos,
+                           masked_ids=mids)
+            except Exception as e:  # broken sample: skip
+                if self.print_broken:
+                    print(f"broken sample skipped: {e}", flush=True)
+
+    def __iter__(self) -> Iterator[dict]:
+        buf: list[dict] = []
+        for ex in self.examples():
+            buf.append(ex)
+            if len(buf) == self.batch_size:
+                batch = {k: np.stack([b[k] for b in buf]) for k in buf[0]}
+                if self.with_image_mask:
+                    batch["image_mask"] = self.block_masker.batch(
+                        self.batch_size)
+                yield batch
+                buf = []
+
+
+def _maybe_b64(v, rng):
+    if isinstance(v, list):
+        if not v:
+            raise ValueError("empty image list")
+        v = v[rng.integers(0, len(v))]
+    return v
+
+
+class TextStream:
+    """Text-only MLM batches (reference TextJsonDataset:645-738):
+    {text_ids, text_atts, text_ids_masked, masked_pos, masked_ids}."""
+
+    def __init__(self, files, config: dict, tokenizer, rank=0, world_size=1,
+                 seed=0):
+        sub = config.get("texts", {}) or {}
+        self.reader = ShardedLineReader(files, rank, world_size, seed=seed)
+        self.text_key = sub.get("text_key", "desc")
+        self.batch_size = sub.get("batch_size", 64)
+        self.rng = np.random.default_rng(seed + rank + 1)
+        self.prep = TextPreprocessor(
+            tokenizer,
+            max_words=sub.get("max_words", 128),
+            max_tokens=sub.get("max_tokens", 128),
+            max_masks=sub.get("max_masks", 20),
+            mask_prob=sub.get("mask_prob", 0.15),
+            skipgram_prb=config.get("skipgram_prb", 0.2),
+            skipgram_size=config.get("skipgram_size", 3),
+            mask_whole_word=sub.get("mask_whole_word", True),
+            rng=self.rng)
+
+    def __iter__(self) -> Iterator[dict]:
+        buf = []
+        for ann in self.reader.iter_json():
+            try:
+                text = ann[self.text_key]
+                buf.append(self.prep.encode_masked(text))
+            except Exception:
+                continue
+            if len(buf) == self.batch_size:
+                ids, atts, idsm, mpos, mids = (np.stack(x) for x in
+                                               zip(*buf))
+                yield dict(text_ids=ids, text_atts=atts,
+                           text_ids_masked=idsm, masked_pos=mpos,
+                           masked_ids=mids)
+                buf = []
+
+
+class ImageStream:
+    """Image-only stream (ImageNet MIM source,
+    reference ImageJsonDataset:315-394): {images, image_mask}."""
+
+    def __init__(self, files, config: dict, transform, rank=0, world_size=1,
+                 config_key="images_imagenet", seed=0):
+        sub = config.get(config_key, {}) or {}
+        self.reader = ShardedLineReader(files, rank, world_size, seed=seed)
+        self.image_key = sub.get("image_key", "binary")
+        self.is_image_rpath = sub.get("is_image_rpath", False)
+        self.batch_size = sub.get("batch_size", 32)
+        self.transform = transform
+        self.rng = np.random.default_rng(seed + rank + 2)
+        grid = config.get("image_res", 224) // config.get("patch_size", 16)
+        self.block_masker = BlockMaskingGenerator(
+            grid, config.get("num_masking_patches", 75),
+            config.get("min_num_patches", 16), rng=self.rng)
+
+    def __iter__(self) -> Iterator[dict]:
+        buf = []
+        for ann in self.reader.iter_json():
+            try:
+                img = decode_image(ann[self.image_key])
+                buf.append(self.transform(img))
+            except Exception:
+                continue
+            if len(buf) == self.batch_size:
+                yield dict(images=np.stack(buf),
+                           image_mask=self.block_masker.batch(
+                               self.batch_size))
+                buf = []

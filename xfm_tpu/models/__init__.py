@@ -1,0 +1,21 @@
+from .text_encoder import (
+    TextConfig,
+    TextTransformer,
+    MLMHead,
+    cross_entropy,
+    per_sample_lm_loss,
+    gather_positions,
+    roberta_position_ids,
+)
+from .beit2 import BeitVisionTransformer, VisionConfig, relative_position_index
+from .clip_vit import ClipVisionTransformer, ClipVisionConfig
+from .xfm import XFMBase, XFMConfig, MLPHead, config_from_yaml
+from .task_models import (
+    XFMForPretrain,
+    XFMForRetrieval,
+    XFMForNLVR,
+    XFMForClassification,
+    XFMForGrounding,
+    DeepMLPHead,
+)
+from . import losses

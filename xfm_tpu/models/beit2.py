@@ -1,0 +1,284 @@
+"""Flax BEiT-2 vision transformer — X-FM's default vision encoder.
+
+Behavioral parity targets (reference models/beit2.py):
+- fused bias-free qkv with separate learnable q/v biases (k bias fixed at 0)
+  (reference models/beit2.py:84-90,129-132);
+- per-block relative-position bias tables over (2W-1)^2 + 3 distances, the
+  +3 covering cls↔token and cls↔cls (reference models/beit2.py:92-116);
+- LayerScale gamma_1/gamma_2 (init 0.1) and stochastic depth
+  (reference models/beit2.py:186-205,309);
+- `fix_init_weight` rescale of proj/fc2 by 1/sqrt(2·layer)
+  (reference models/beit2.py:327-333) — applied at init;
+- avgpool forward: cls token is *dropped* after the blocks, patches go
+  through fc_norm, and the returned "cls" slot is the mean-pooled patch
+  feature: output = [avgpool ‖ patches] (reference models/beit2.py:456-466);
+- MIM mask-token injection at block-masked positions
+  (reference models/beit2.py:431-441) — the mask arrives as a model *input*
+  (generated host-side by data.block_masking.MaskingGenerator) so the module
+  stays pure/jittable;
+- region-grouped readout via idx_to_group_img gather + masked avgpool
+  (reference models/beit2.py:468-475).
+
+TPU-first choices: NHWC images, patch embedding as one MXU matmul
+(ops.patch_embed), attention through ops.dot_product_attention (Pallas fused
+kernel on TPU) with the rel-pos bias passed as a [1, H, N, N] additive bias.
+"""
+from __future__ import annotations
+
+import dataclasses
+from typing import Any, Optional
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..ops.attention import dot_product_attention
+from ..ops.patch_embed import extract_patches
+from .text_encoder import gelu_exact
+
+
+@dataclasses.dataclass(frozen=True)
+class VisionConfig:
+    image_res: int = 224
+    patch_size: int = 16
+    embed_dim: int = 768
+    depth: int = 12
+    num_heads: int = 12
+    mlp_ratio: float = 4.0
+    qkv_bias: bool = True
+    init_values: float = 0.1         # LayerScale init
+    use_rel_pos_bias: bool = True    # per-block tables
+    use_shared_rel_pos_bias: bool = False
+    use_abs_pos_emb: bool = False
+    use_mean_pooling: bool = True
+    drop_rate: float = 0.0
+    attn_drop_rate: float = 0.0
+    drop_path_rate: float = 0.1
+    layer_norm_eps: float = 1e-6
+    dtype: Any = jnp.float32
+
+    @property
+    def grid_size(self) -> int:
+        return self.image_res // self.patch_size
+
+    @property
+    def num_patches(self) -> int:
+        return self.grid_size ** 2
+
+    @classmethod
+    def beit_base(cls, image_res=224, **kw):
+        return cls(image_res=image_res, embed_dim=768, depth=12, num_heads=12, **kw)
+
+    @classmethod
+    def beit_large(cls, image_res=224, **kw):
+        return cls(image_res=image_res, embed_dim=1024, depth=24, num_heads=16, **kw)
+
+
+def relative_position_index(window: tuple[int, int]) -> np.ndarray:
+    """Static [N+1, N+1] index into the rel-pos table, incl. the 3 cls
+    distances (reference models/beit2.py:99-116). Computed once in numpy."""
+    wh, ww = window
+    num_rel = (2 * wh - 1) * (2 * ww - 1) + 3
+    coords = np.stack(np.meshgrid(np.arange(wh), np.arange(ww), indexing="ij"))
+    flat = coords.reshape(2, -1)
+    rel = flat[:, :, None] - flat[:, None, :]
+    rel = rel.transpose(1, 2, 0).astype(np.int64)
+    rel[:, :, 0] += wh - 1
+    rel[:, :, 1] += ww - 1
+    rel[:, :, 0] *= 2 * ww - 1
+    idx = np.zeros((wh * ww + 1, wh * ww + 1), np.int64)
+    idx[1:, 1:] = rel.sum(-1)
+    idx[0, 0:] = num_rel - 3
+    idx[0:, 0] = num_rel - 2
+    idx[0, 0] = num_rel - 1
+    return idx
+
+
+def num_relative_distance(window: tuple[int, int]) -> int:
+    return (2 * window[0] - 1) * (2 * window[1] - 1) + 3
+
+
+class DropPath(nn.Module):
+    """Per-sample stochastic depth (reference models/beit2.py:38-49)."""
+    rate: float
+
+    @nn.compact
+    def __call__(self, x, deterministic=True):
+        if deterministic or self.rate == 0.0:
+            return x
+        keep = 1.0 - self.rate
+        rng = self.make_rng("dropout")
+        mask = jax.random.bernoulli(rng, keep,
+                                    (x.shape[0],) + (1,) * (x.ndim - 1))
+        return jnp.where(mask, x / keep, 0.0)
+
+
+class BeitAttention(nn.Module):
+    config: VisionConfig
+
+    @nn.compact
+    def __call__(self, x, rel_pos_bias=None, attn_bias=None,
+                 deterministic=True):
+        c = self.config
+        B, N, C = x.shape
+        H = c.num_heads
+        D = C // H
+
+        qkv = nn.Dense(3 * C, use_bias=False, name="qkv", dtype=c.dtype)(x)
+        if c.qkv_bias:
+            q_bias = self.param("q_bias", nn.initializers.zeros, (C,))
+            v_bias = self.param("v_bias", nn.initializers.zeros, (C,))
+            bias = jnp.concatenate([q_bias, jnp.zeros_like(q_bias), v_bias])
+            qkv = qkv + bias.astype(qkv.dtype)
+        qkv = qkv.reshape(B, N, 3, H, D)
+        q, k, v = qkv[:, :, 0], qkv[:, :, 1], qkv[:, :, 2]
+
+        if c.use_rel_pos_bias:
+            window = (c.grid_size, c.grid_size)
+            table = self.param(
+                "relative_position_bias_table", nn.initializers.zeros,
+                (num_relative_distance(window), H))
+            idx = relative_position_index(window)
+            rpb = table[idx.reshape(-1)].reshape(N, N, H)
+            rpb = jnp.transpose(rpb, (2, 0, 1))[None]  # [1, H, N, N]
+            rel_pos_bias = rpb if rel_pos_bias is None else rel_pos_bias + rpb
+
+        bias = rel_pos_bias
+        if attn_bias is not None:
+            bias = attn_bias if bias is None else bias + attn_bias
+
+        drop_rng = None
+        if not deterministic and c.attn_drop_rate > 0:
+            drop_rng = self.make_rng("dropout")
+        out = dot_product_attention(
+            q, k, v, bias=bias, dropout_rate=c.attn_drop_rate,
+            dropout_rng=drop_rng, deterministic=deterministic)
+        out = out.reshape(B, N, C)
+        out = nn.Dense(C, name="proj", dtype=c.dtype)(out)
+        out = nn.Dropout(c.drop_rate)(out, deterministic=deterministic)
+        return out
+
+
+class BeitBlock(nn.Module):
+    config: VisionConfig
+    drop_path: float = 0.0
+
+    @nn.compact
+    def __call__(self, x, rel_pos_bias=None, attn_bias=None,
+                 deterministic=True):
+        c = self.config
+        C = c.embed_dim
+        gamma_1 = self.param("gamma_1",
+                             nn.initializers.constant(c.init_values), (C,))
+        gamma_2 = self.param("gamma_2",
+                             nn.initializers.constant(c.init_values), (C,))
+        dp = DropPath(self.drop_path)
+
+        h = nn.LayerNorm(epsilon=c.layer_norm_eps, name="norm1",
+                         dtype=c.dtype)(x)
+        h = BeitAttention(c, name="attn")(h, rel_pos_bias, attn_bias,
+                                          deterministic)
+        x = x + dp(gamma_1.astype(h.dtype) * h, deterministic)
+
+        h = nn.LayerNorm(epsilon=c.layer_norm_eps, name="norm2",
+                         dtype=c.dtype)(x)
+        h = nn.Dense(int(C * c.mlp_ratio), name="fc1", dtype=c.dtype)(h)
+        h = gelu_exact(h)
+        h = nn.Dense(C, name="fc2", dtype=c.dtype)(h)
+        h = nn.Dropout(c.drop_rate)(h, deterministic=deterministic)
+        x = x + dp(gamma_2.astype(h.dtype) * h, deterministic)
+        return x
+
+
+class BeitVisionTransformer(nn.Module):
+    config: VisionConfig
+
+    def setup(self):
+        c = self.config
+        self.patch_kernel = self.param(
+            "patch_embed_kernel",
+            nn.initializers.truncated_normal(0.02),
+            (c.patch_size * c.patch_size * 3, c.embed_dim))
+        self.patch_bias = self.param("patch_embed_bias",
+                                     nn.initializers.zeros, (c.embed_dim,))
+        self.cls_token = self.param("cls_token",
+                                    nn.initializers.truncated_normal(0.02),
+                                    (1, 1, c.embed_dim))
+        self.mask_token = self.param("mask_token",
+                                     nn.initializers.truncated_normal(0.02),
+                                     (1, 1, c.embed_dim))
+        if c.use_abs_pos_emb:
+            self.pos_embed = self.param(
+                "pos_embed", nn.initializers.truncated_normal(0.02),
+                (1, c.num_patches + 1, c.embed_dim))
+        if c.use_shared_rel_pos_bias:
+            window = (c.grid_size, c.grid_size)
+            self.shared_rel_pos_table = self.param(
+                "shared_rel_pos_table", nn.initializers.zeros,
+                (num_relative_distance(window), c.num_heads))
+        dpr = np.linspace(0, c.drop_path_rate, c.depth)
+        self.blocks = [BeitBlock(c, drop_path=float(dpr[i]), name=f"block_{i}")
+                       for i in range(c.depth)]
+        if c.use_mean_pooling:
+            self.fc_norm = nn.LayerNorm(epsilon=c.layer_norm_eps,
+                                        name="fc_norm", dtype=c.dtype)
+        else:
+            self.final_norm = nn.LayerNorm(epsilon=c.layer_norm_eps,
+                                           name="final_norm", dtype=c.dtype)
+
+    def embed(self, images, mask=None, deterministic=True):
+        """images: [B, H, W, 3] NHWC. mask: [B, num_patches] bool MIM mask."""
+        c = self.config
+        patches = extract_patches(images.astype(self.patch_kernel.dtype),
+                                  c.patch_size)
+        x = patches.astype(c.dtype) @ self.patch_kernel.astype(c.dtype)
+        x = x + self.patch_bias.astype(c.dtype)
+        B, N, C = x.shape
+        if mask is not None:
+            w = mask.astype(x.dtype)[..., None]
+            x = x * (1 - w) + self.mask_token.astype(x.dtype) * w
+        cls = jnp.broadcast_to(self.cls_token.astype(x.dtype), (B, 1, C))
+        x = jnp.concatenate([cls, x], axis=1)
+        if c.use_abs_pos_emb:
+            pe = self.pos_embed
+            x = x + pe.astype(x.dtype)
+        return x
+
+    def __call__(self, images, mask=None, idx_to_group_img=None,
+                 image_atts=None, deterministic=True):
+        c = self.config
+        x = self.embed(images, mask, deterministic)
+
+        shared_rpb = None
+        if c.use_shared_rel_pos_bias:
+            N = x.shape[1]
+            idx = relative_position_index((c.grid_size, c.grid_size))
+            rpb = self.shared_rel_pos_table[idx.reshape(-1)]
+            rpb = rpb.reshape(N, N, c.num_heads)
+            shared_rpb = jnp.transpose(rpb, (2, 0, 1))[None]
+
+        for blk in self.blocks:
+            x = blk(x, rel_pos_bias=shared_rpb, deterministic=deterministic)
+
+        # Drop cls, normalize patches, prepend mean-pooled patch feature
+        # (reference models/beit2.py:456-466).
+        patches = x[:, 1:, :]
+        if c.use_mean_pooling:
+            patches = self.fc_norm(patches)
+        else:
+            patches = self.final_norm(patches)
+        pooled = jnp.mean(patches, axis=1, keepdims=True)
+        full = jnp.concatenate([pooled, patches], axis=1)
+
+        if idx_to_group_img is None:
+            return full
+
+        # Region-grouped readout (reference models/beit2.py:468-475):
+        # gather per-region copies of the patch grid, masked avg-pool as cls.
+        xg = jnp.take(patches, idx_to_group_img, axis=0)
+        w = image_atts[:, 1:].astype(xg.dtype)[..., None]
+        pooled_g = jnp.sum(xg * w, axis=1, keepdims=True) / \
+            jnp.maximum(jnp.sum(w, axis=1, keepdims=True), 1e-6)
+        grouped = jnp.concatenate([pooled_g, xg], axis=1)
+        return grouped, full

@@ -1,0 +1,347 @@
+"""TextTransformer — the BERT/RoBERTa-style engine behind X-FM's text encoder,
+fusion encoder and cross-modal decoders, rebuilt as one Flax module.
+
+Replicates the behavioral surface of the reference forks
+(reference models/xbert.py, models/xroberta.py):
+
+- RoBERTa pad-offset position ids (reference models/xroberta.py:104-117,
+  `create_position_ids_from_input_ids`) or BERT absolute positions;
+- per-layer cross-attention from `fusion_layer` on, with k/v projected from
+  `encoder_width` (the vision width; reference models/xbert.py:234-240,463-466);
+- encoder `mode` slicing the layer range: 'text' = [0, fusion_layer),
+  'fusion' = [fusion_layer, N), 'multi_modal' = [0, N)
+  (reference models/xbert.py:562-574);
+- `inputs_embeds` entry that *bypasses* the embedding layer (the fork's
+  `encoder_embeds=` path, reference models/xbert.py:1006-1011,1052-1061);
+- masked-position MLM head that gathers only `masked_pos` before the vocab
+  projection (reference models/xbert.py:1544-1545,1595-1601) — in JAX this is
+  a static-shape take_along_axis over `max_masks` positions;
+- causal decoder mode with a KV cache for generation
+  (reference models/xbert.py:1240-1387).
+
+Attention q-scaling happens before the QK matmul, which also subsumes the
+fork's fp16 overflow guard (reference models/xbert.py:296-330).
+"""
+from __future__ import annotations
+
+import dataclasses
+from functools import partial
+from typing import Any, Optional
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+
+from ..ops.attention import dot_product_attention, mask_to_bias, NEG_INF
+
+gelu_exact = partial(jax.nn.gelu, approximate=False)
+
+ACT = {
+    "gelu": gelu_exact,
+    "gelu_new": partial(jax.nn.gelu, approximate=True),
+    "quick_gelu": lambda x: x * jax.nn.sigmoid(1.702 * x),
+    "relu": jax.nn.relu,
+}
+
+
+@dataclasses.dataclass(frozen=True)
+class TextConfig:
+    vocab_size: int = 50265
+    hidden_size: int = 768
+    num_hidden_layers: int = 12
+    num_attention_heads: int = 12
+    intermediate_size: int = 3072
+    hidden_act: str = "gelu"
+    hidden_dropout_prob: float = 0.1
+    attention_probs_dropout_prob: float = 0.1
+    max_position_embeddings: int = 514
+    type_vocab_size: int = 1
+    layer_norm_eps: float = 1e-5
+    pad_token_id: int = 1
+    # X-FM fork extensions:
+    fusion_layer: int = 12          # first layer with cross-attention
+    encoder_width: int = 768        # width of the cross-attended encoder states
+    position_style: str = "roberta"  # 'roberta' pad-offset | 'bert' absolute
+    is_decoder: bool = False
+    dtype: Any = jnp.float32        # compute dtype
+
+    @classmethod
+    def roberta_base(cls, **kw):
+        return cls(**{**dict(vocab_size=50265, max_position_embeddings=514,
+                             pad_token_id=1, layer_norm_eps=1e-5,
+                             position_style="roberta", type_vocab_size=1), **kw})
+
+    @classmethod
+    def bert_base(cls, **kw):
+        return cls(**{**dict(vocab_size=30522, max_position_embeddings=512,
+                             pad_token_id=0, layer_norm_eps=1e-12,
+                             position_style="bert", type_vocab_size=2), **kw})
+
+
+def roberta_position_ids(input_ids: jnp.ndarray, pad_token_id: int,
+                         past_length: int = 0) -> jnp.ndarray:
+    """Pad-offset position ids (reference models/xroberta.py:38-49):
+    positions count non-pad tokens, offset by padding_idx; pads stay at
+    padding_idx."""
+    mask = (input_ids != pad_token_id).astype(jnp.int32)
+    incremental = (jnp.cumsum(mask, axis=1) + past_length) * mask
+    return incremental + pad_token_id
+
+
+class Embeddings(nn.Module):
+    config: TextConfig
+
+    def setup(self):
+        c = self.config
+        self.word_embeddings = nn.Embed(c.vocab_size, c.hidden_size,
+                                        dtype=c.dtype)
+        self.position_embeddings = nn.Embed(c.max_position_embeddings,
+                                            c.hidden_size, dtype=c.dtype)
+        self.token_type_embeddings = nn.Embed(c.type_vocab_size,
+                                              c.hidden_size, dtype=c.dtype)
+        self.LayerNorm = nn.LayerNorm(epsilon=c.layer_norm_eps, dtype=c.dtype)
+        self.dropout = nn.Dropout(c.hidden_dropout_prob)
+
+    def __call__(self, input_ids, token_type_ids=None, position_ids=None,
+                 past_length=0, deterministic=True):
+        c = self.config
+        if position_ids is None:
+            if c.position_style == "roberta":
+                position_ids = roberta_position_ids(input_ids, c.pad_token_id,
+                                                    past_length)
+            else:
+                position_ids = (jnp.arange(input_ids.shape[1])[None, :]
+                                + past_length)
+        if token_type_ids is None:
+            token_type_ids = jnp.zeros_like(input_ids)
+
+        x = (self.word_embeddings(input_ids)
+             + self.position_embeddings(position_ids)
+             + self.token_type_embeddings(token_type_ids))
+        x = self.LayerNorm(x)
+        x = self.dropout(x, deterministic=deterministic)
+        return x
+
+
+class SelfAttention(nn.Module):
+    """Self- or cross-attention with BERT post-LN output
+    (reference models/xbert.py:222-366). For cross-attention k/v project from
+    `encoder_width` features (reference models/xbert.py:234-240)."""
+    config: TextConfig
+    is_cross: bool = False
+    causal: bool = False
+
+    @nn.compact
+    def __call__(self, hidden, kv_source, attention_bias, deterministic=True,
+                 decode=False):
+        c = self.config
+        H = c.num_attention_heads
+        D = c.hidden_size // H
+
+        q = nn.Dense(c.hidden_size, name="query", dtype=c.dtype)(hidden)
+        k = nn.Dense(c.hidden_size, name="key", dtype=c.dtype)(kv_source)
+        v = nn.Dense(c.hidden_size, name="value", dtype=c.dtype)(kv_source)
+        B, Nq = hidden.shape[:2]
+        q = q.reshape(B, Nq, H, D)
+        k = k.reshape(B, kv_source.shape[1], H, D)
+        v = v.reshape(B, kv_source.shape[1], H, D)
+
+        if decode and not self.is_cross:
+            # KV-cache for incremental decoding (causal generation).
+            ck = self.variable("cache", "k", jnp.zeros,
+                               (B, c.max_position_embeddings, H, D), k.dtype)
+            cv = self.variable("cache", "v", jnp.zeros,
+                               (B, c.max_position_embeddings, H, D), v.dtype)
+            idx = self.variable("cache", "index",
+                                lambda: jnp.zeros((), jnp.int32))
+            i = idx.value
+            ck.value = jax.lax.dynamic_update_slice(ck.value, k, (0, i, 0, 0))
+            cv.value = jax.lax.dynamic_update_slice(cv.value, v, (0, i, 0, 0))
+            idx.value = i + Nq
+            k, v = ck.value, cv.value
+            # Mask out cache positions beyond the current index.
+            pos = jnp.arange(k.shape[1])[None, None, None, :]
+            valid = pos < (i + Nq)
+            cbias = jnp.where(valid, 0.0, NEG_INF).astype(jnp.float32)
+            attention_bias = cbias if attention_bias is None \
+                else attention_bias + cbias
+        elif self.causal and not self.is_cross:
+            Nk = k.shape[1]
+            causal = jnp.tril(jnp.ones((Nq, Nk), bool))[None, None]
+            cbias = jnp.where(causal, 0.0, NEG_INF).astype(jnp.float32)
+            attention_bias = cbias if attention_bias is None \
+                else attention_bias + cbias
+
+        drop_rng = None
+        if not deterministic and c.attention_probs_dropout_prob > 0:
+            drop_rng = self.make_rng("dropout")
+        ctx = dot_product_attention(
+            q, k, v, bias=attention_bias,
+            dropout_rate=c.attention_probs_dropout_prob,
+            dropout_rng=drop_rng, deterministic=deterministic)
+        ctx = ctx.reshape(B, Nq, c.hidden_size)
+
+        out = nn.Dense(c.hidden_size, name="attn_out", dtype=c.dtype)(ctx)
+        out = nn.Dropout(c.hidden_dropout_prob)(out, deterministic=deterministic)
+        out = nn.LayerNorm(epsilon=c.layer_norm_eps, name="output_LayerNorm",
+                           dtype=c.dtype)(out + hidden)
+        return out
+
+
+class TransformerLayer(nn.Module):
+    config: TextConfig
+    has_cross_attention: bool = False
+
+    @nn.compact
+    def __call__(self, hidden, attention_bias=None, encoder_hidden_states=None,
+                 encoder_attention_bias=None, deterministic=True, decode=False):
+        c = self.config
+        x = SelfAttention(c, causal=c.is_decoder, name="attention")(
+            hidden, hidden, attention_bias, deterministic, decode)
+        if self.has_cross_attention and encoder_hidden_states is not None:
+            x = SelfAttention(c, is_cross=True, name="crossattention")(
+                x, encoder_hidden_states, encoder_attention_bias,
+                deterministic)
+        h = nn.Dense(c.intermediate_size, name="intermediate_dense",
+                     dtype=c.dtype)(x)
+        h = ACT[c.hidden_act](h)
+        h = nn.Dense(c.hidden_size, name="output_dense", dtype=c.dtype)(h)
+        h = nn.Dropout(c.hidden_dropout_prob)(h, deterministic=deterministic)
+        x = nn.LayerNorm(epsilon=c.layer_norm_eps, name="ffn_LayerNorm",
+                         dtype=c.dtype)(h + x)
+        return x
+
+
+class TextTransformer(nn.Module):
+    """Encoder stack with mode-sliced layer ranges (see module docstring).
+
+    With `with_mlm=True` this is the RobertaForMaskedLM/BertForMaskedLM
+    equivalent: `mlm_logits` applies the vocab head (tied to the word
+    embedding, HF default) after an optional masked-position gather."""
+    config: TextConfig
+    with_mlm: bool = False
+
+    def setup(self):
+        c = self.config
+        self.embeddings = Embeddings(c)
+        self.layers = [
+            TransformerLayer(c, has_cross_attention=(i >= c.fusion_layer),
+                             name=f"layer_{i}")
+            for i in range(c.num_hidden_layers)
+        ]
+        if self.with_mlm:
+            self.mlm_head = MLMHead(c)
+
+    def mlm_logits(self, hidden, masked_pos=None):
+        if masked_pos is not None:
+            hidden = gather_positions(hidden, masked_pos)
+        table = self.embeddings.word_embeddings.embedding
+        return self.mlm_head(hidden, shared_embedding=table)
+
+    def init_all(self, input_ids, attention_mask=None,
+                 encoder_hidden_states=None, encoder_attention_mask=None):
+        """Exercise every submodule so `init` creates the full param tree
+        (flax creates params lazily on first use)."""
+        h = self(input_ids, attention_mask=attention_mask,
+                 encoder_hidden_states=encoder_hidden_states,
+                 encoder_attention_mask=encoder_attention_mask,
+                 mode="multi_modal")
+        if self.with_mlm:
+            _ = self.mlm_logits(h, None)
+        return h
+
+    def __call__(self, input_ids=None, attention_mask=None,
+                 token_type_ids=None, position_ids=None, inputs_embeds=None,
+                 encoder_hidden_states=None, encoder_attention_mask=None,
+                 mode="multi_modal", deterministic=True, decode=False,
+                 past_length=0):
+        c = self.config
+        if inputs_embeds is not None:
+            # encoder_embeds path: bypass embeddings entirely
+            # (reference models/xbert.py:1052-1061).
+            x = inputs_embeds
+        else:
+            x = self.embeddings(input_ids, token_type_ids, position_ids,
+                                past_length, deterministic)
+
+        bias = None
+        if attention_mask is not None:
+            bias = mask_to_bias(attention_mask)
+        ebias = None
+        if encoder_hidden_states is not None:
+            if encoder_attention_mask is None:
+                encoder_attention_mask = jnp.ones(
+                    encoder_hidden_states.shape[:2], jnp.int32)
+            ebias = mask_to_bias(encoder_attention_mask)
+
+        if mode == "text":
+            lo, hi = 0, c.fusion_layer
+        elif mode == "fusion":
+            lo, hi = c.fusion_layer, c.num_hidden_layers
+        else:
+            lo, hi = 0, c.num_hidden_layers
+
+        for layer in self.layers[lo:hi]:
+            x = layer(x, bias, encoder_hidden_states, ebias, deterministic,
+                      decode)
+        return x
+
+
+class MLMHead(nn.Module):
+    """RoBERTa lm_head / BERT cls.predictions: dense → act → LN → vocab decoder
+    (reference models/xroberta.py:1313-1340). Weight tying to the word
+    embedding is handled by the caller passing `shared_embedding`."""
+    config: TextConfig
+
+    @nn.compact
+    def __call__(self, hidden, shared_embedding=None):
+        c = self.config
+        x = nn.Dense(c.hidden_size, name="dense", dtype=c.dtype)(hidden)
+        x = gelu_exact(x)
+        x = nn.LayerNorm(epsilon=c.layer_norm_eps, name="layer_norm",
+                         dtype=c.dtype)(x)
+        if shared_embedding is not None:
+            logits = x.astype(jnp.float32) @ shared_embedding.T.astype(jnp.float32)
+            bias = self.param("bias", nn.initializers.zeros, (c.vocab_size,))
+            logits = logits + bias
+        else:
+            logits = nn.Dense(c.vocab_size, name="decoder",
+                              dtype=jnp.float32)(x.astype(jnp.float32))
+        return logits
+
+
+def gather_positions(hidden: jnp.ndarray, positions: jnp.ndarray) -> jnp.ndarray:
+    """Static-shape gather of masked positions before the MLM head
+    (reference models/xbert.py:1544-1545 `gather_seq_out_by_pos`)."""
+    return jnp.take_along_axis(hidden, positions[..., None], axis=1)
+
+
+def cross_entropy(logits: jnp.ndarray, labels: jnp.ndarray,
+                  ignore_index: int = -100,
+                  label_smoothing: float = 0.0) -> jnp.ndarray:
+    """Mean CE over non-ignored labels; torch F.cross_entropy semantics."""
+    valid = labels != ignore_index
+    safe = jnp.where(valid, labels, 0)
+    logp = jax.nn.log_softmax(logits.astype(jnp.float32), axis=-1)
+    nll = -jnp.take_along_axis(logp, safe[..., None], axis=-1)[..., 0]
+    if label_smoothing > 0.0:
+        smooth = -jnp.mean(logp, axis=-1)
+        nll = (1.0 - label_smoothing) * nll + label_smoothing * smooth
+    nll = jnp.where(valid, nll, 0.0)
+    denom = jnp.maximum(jnp.sum(valid), 1)
+    return jnp.sum(nll) / denom
+
+
+def per_sample_lm_loss(logits: jnp.ndarray, labels: jnp.ndarray,
+                       ignore_index: int = -100,
+                       label_smoothing: float = 0.0) -> jnp.ndarray:
+    """Per-sample summed causal LM loss (reference models/xroberta.py:1107-1114
+    always uses reduction='none' then .sum(1)). logits/labels already shifted."""
+    valid = labels != ignore_index
+    safe = jnp.where(valid, labels, 0)
+    logp = jax.nn.log_softmax(logits.astype(jnp.float32), axis=-1)
+    nll = -jnp.take_along_axis(logp, safe[..., None], axis=-1)[..., 0]
+    if label_smoothing > 0.0:
+        smooth = -jnp.mean(logp, axis=-1)
+        nll = (1.0 - label_smoothing) * nll + label_smoothing * smooth
+    return jnp.sum(jnp.where(valid, nll, 0.0), axis=-1)

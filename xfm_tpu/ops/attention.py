@@ -1,0 +1,119 @@
+"""Attention ops: the single entry point every model in the framework uses.
+
+Replaces the reference's eager torch attention
+(reference models/beit2.py:127-166, models/xbert.py:296-341) with:
+
+- an XLA einsum path (`_xla_attention`) — always available, used on CPU and
+  as the autodiff rule;
+- a Pallas flash-attention path (`xfm_tpu.ops.flash_attention`) fusing the
+  softmax(QK^T + rel_pos_bias + mask)V pipeline in VMEM — used on TPU when
+  shapes allow.
+
+All inputs use [batch, seq, heads, head_dim] layout. `bias` is an additive
+attention bias broadcastable to [batch, heads, q_len, k_len]; this carries
+both BEiT-2 relative-position bias (reference models/beit2.py:139-148) and
+the −inf padding masks the BERT fork folds in via `extended_attention_mask`.
+"""
+from __future__ import annotations
+
+import functools
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+
+NEG_INF = -1e9  # large-negative used for masking (bf16-safe; reference uses -10000/-inf)
+
+
+def mask_to_bias(mask: jax.Array, dtype=jnp.float32) -> jax.Array:
+    """[B, Nk] or [B, 1, Nq, Nk] {0,1} mask → additive bias.
+
+    Mirrors `get_extended_attention_mask` ((1-m)*-10000) of the HF fork used
+    at reference models/xbert.py:979-1004.
+    """
+    if mask.ndim == 2:
+        mask = mask[:, None, None, :]
+    elif mask.ndim == 3:
+        mask = mask[:, None, :, :]
+    return (1.0 - mask.astype(dtype)) * NEG_INF
+
+
+def _xla_attention(q, k, v, bias, scale):
+    # q,k,v: [B, N, H, D]; softmax in fp32, output in q.dtype. Matmuls stay
+    # MXU-eligible (bf16 in, fp32 accumulate). q is scaled before the matmul
+    # (reference models/beit2.py:137 and the fp16 guard models/xbert.py:296-330).
+    q = (q.astype(jnp.float32) * scale).astype(q.dtype)
+    logits = jnp.einsum("bqhd,bkhd->bhqk", q, k,
+                        preferred_element_type=jnp.float32)
+    if bias is not None:
+        logits = logits + bias.astype(jnp.float32)
+    probs = jax.nn.softmax(logits, axis=-1)
+    out = jnp.einsum("bhqk,bkhd->bqhd", probs.astype(q.dtype), v,
+                     preferred_element_type=jnp.float32)
+    return out.astype(q.dtype)
+
+
+def dot_product_attention(
+    q: jax.Array,
+    k: jax.Array,
+    v: jax.Array,
+    *,
+    bias: Optional[jax.Array] = None,
+    mask: Optional[jax.Array] = None,
+    scale: Optional[float] = None,
+    dropout_rate: float = 0.0,
+    dropout_rng: Optional[jax.Array] = None,
+    deterministic: bool = True,
+    use_flash: Optional[bool] = None,
+) -> jax.Array:
+    """Scaled dot-product attention over [B, N, H, D] tensors."""
+    if scale is None:
+        scale = q.shape[-1] ** -0.5
+    if mask is not None:
+        mbias = mask_to_bias(mask)
+        bias = mbias if bias is None else bias + mbias
+
+    if use_flash is None:
+        use_flash = _flash_ok(q, k, dropout_rate, deterministic)
+    if use_flash:
+        from .flash_attention import flash_attention
+
+        return flash_attention(q, k, v, bias, scale)
+
+    out = _dropout_attention(q, k, v, bias, scale, dropout_rate, dropout_rng,
+                             deterministic)
+    return out
+
+
+def _dropout_attention(q, k, v, bias, scale, rate, rng, deterministic):
+    if deterministic or rate == 0.0 or rng is None:
+        return _xla_attention(q, k, v, bias, scale)
+    q = (q.astype(jnp.float32) * scale).astype(q.dtype)
+    logits = jnp.einsum("bqhd,bkhd->bhqk", q, k,
+                        preferred_element_type=jnp.float32)
+    if bias is not None:
+        logits = logits + bias.astype(jnp.float32)
+    probs = jax.nn.softmax(logits, axis=-1)
+    keep = jax.random.bernoulli(rng, 1.0 - rate, probs.shape)
+    probs = jnp.where(keep, probs / (1.0 - rate), 0.0)
+    out = jnp.einsum("bhqk,bkhd->bqhd", probs.astype(q.dtype), v,
+                     preferred_element_type=jnp.float32)
+    return out.astype(q.dtype)
+
+
+@functools.lru_cache(maxsize=1)
+def _on_tpu() -> bool:
+    try:
+        return jax.devices()[0].platform == "tpu"
+    except Exception:
+        return False
+
+
+def _flash_ok(q, k, dropout_rate, deterministic) -> bool:
+    if not _on_tpu():
+        return False
+    if dropout_rate > 0.0 and not deterministic:
+        return False
+    # Flash pays off once the score matrix stops fitting in VMEM comfortably;
+    # below ~256 keys XLA's fused softmax is already fine.
+    return q.shape[1] >= 128 and k.shape[1] >= 128

@@ -1,0 +1,116 @@
+"""Shared task scaffolding: what the reference spreads across each task
+script's main() (reference Retrieval.py:234-384 etc.) — config, mesh,
+model/optimizer/schedule construction, the jitted step, checkpoint cadence.
+"""
+from __future__ import annotations
+
+import dataclasses
+import json
+import os
+import time
+from typing import Any, Callable, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..core.config import load_config, resolve_vision_config, dump_config
+from ..core.mesh import make_mesh, mesh_from_config, shard_batch
+from ..core.partitioning import param_shardings
+from ..core.precision import policy_from_config
+from ..train.metrics import MetricLogger, is_main_process
+from ..train.optim import create_optimizer_from_config
+from ..train.schedules import schedule_from_config
+from ..train.train_state import TrainState
+
+
+@dataclasses.dataclass
+class TaskContext:
+    config: dict
+    mesh: Any
+    out_dir: str
+    seed: int = 42
+
+    @classmethod
+    def from_args(cls, args, overrides: Optional[dict] = None) -> "TaskContext":
+        cfg = load_config(args.config, overrides)
+        cfg = resolve_vision_config(
+            cfg, config_root=os.path.join(os.path.dirname(os.path.dirname(
+                os.path.dirname(os.path.abspath(__file__)))), "configs",
+                "model"))
+        if getattr(args, "bs", None):
+            _scale_batch(cfg, args.bs)
+        if getattr(args, "epoch", None):
+            sch = cfg.setdefault("schedular", {})
+            sch["epochs"] = args.epoch
+        mesh = mesh_from_config(cfg)
+        out = getattr(args, "output_dir", "output")
+        os.makedirs(out, exist_ok=True)
+        if is_main_process():
+            dump_config(cfg, os.path.join(out, "config.yaml"))
+        return cls(config=cfg, mesh=mesh, out_dir=out,
+                   seed=getattr(args, "seed", 42))
+
+
+def _scale_batch(cfg: dict, global_bs: int) -> None:
+    """--bs semantics: global batch / world_size (reference run.py:351,
+    Retrieval.py:244-245)."""
+    n = jax.device_count()
+    for key in ("images", "texts", "regions", "images_imagenet"):
+        if isinstance(cfg.get(key), dict) and "batch_size" in cfg[key]:
+            cfg[key]["batch_size"] = max(1, global_bs // n)
+    if "batch_size_train" in cfg:
+        cfg["batch_size_train"] = max(1, global_bs // n)
+
+
+def build_state(ctx: TaskContext, model, example_batch, init_method,
+                steps_per_epoch: int, init_rngs: Optional[dict] = None):
+    """Sharded init + optimizer from the YAML config blocks."""
+    sched = schedule_from_config(ctx.config, steps_per_epoch)
+    rngs = init_rngs or {"params": jax.random.PRNGKey(ctx.seed)}
+
+    def init_params():
+        return model.init(rngs, **example_batch, method=init_method)["params"]
+
+    pshard = param_shardings(jax.eval_shape(init_params), ctx.mesh)
+    with ctx.mesh:
+        params = jax.jit(init_params, out_shardings=pshard)()
+    tx = create_optimizer_from_config(params, ctx.config, sched)
+    with ctx.mesh:
+        opt_state = jax.jit(tx.init)(params)
+    return TrainState(step=jnp.zeros((), jnp.int32), params=params,
+                      opt_state=opt_state, tx=tx), sched
+
+
+def train_epoch(ctx: TaskContext, state: TrainState, step_fn, loader,
+                rng: jax.Array, epoch: int, sched=None,
+                print_freq: int = 50, max_steps: Optional[int] = None):
+    """One epoch over `loader` using the jitted `step_fn(state, batch, rng)`.
+    Returns (state, stats dict) — the reference's per-task train() loops
+    (e.g. Retrieval.py:35-75) collapse into this."""
+    logger = MetricLogger()
+    n = 0
+    for batch in logger.log_every(loader, print_freq,
+                                  header=f"Train epoch {epoch}:",
+                                  total=max_steps):
+        batch = shard_batch(ctx.mesh, batch)
+        rng, sub = jax.random.split(rng)
+        with ctx.mesh:
+            state, metrics = step_fn(state, batch, sub)
+        host = {k: float(v) for k, v in metrics.items()
+                if jnp.ndim(v) == 0}
+        if sched is not None:
+            host["lr"] = float(sched(int(state.step)))
+        logger.update(**host)
+        n += 1
+        if max_steps and n >= max_steps:
+            break
+    logger.synchronize_between_processes()
+    return state, logger.global_avg()
+
+
+def append_log(out_dir: str, payload: dict) -> None:
+    """Epoch JSON lines → log.txt (reference Pretrain.py:252-258)."""
+    if is_main_process():
+        with open(os.path.join(out_dir, "log.txt"), "a") as f:
+            f.write(json.dumps(payload) + "\n")

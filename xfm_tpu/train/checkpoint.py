@@ -1,0 +1,364 @@
+"""Checkpointing: Orbax for native checkpoints + a torch `.th` importer.
+
+The importer reproduces the reference's checkpoint surgery
+(reference models/xfm.py:26-78,408-468; models/beit2.py:572-849): prefix
+renames, HF module nesting (`text_encoder.roberta.*`, `fusion_encoder.roberta.*`),
+Sequential-index MLP heads, conv→matmul patch embedding, and pos-embed /
+relative-position-bias interpolation for resolution changes.
+
+Everything operates on numpy arrays so torch is only needed to `torch.load`
+the file itself (kept optional).
+"""
+from __future__ import annotations
+
+import os
+import re
+from typing import Any, Dict
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..models.beit2 import VisionConfig, num_relative_distance
+from ..models.text_encoder import TextConfig
+
+
+# ---------------------------------------------------------------------------
+# torch state-dict loading
+
+def load_torch_state_dict(path: str) -> Dict[str, np.ndarray]:
+    import torch
+
+    ckpt = torch.load(path, map_location="cpu", weights_only=False)
+    if isinstance(ckpt, dict) and "model" in ckpt:
+        ckpt = ckpt["model"]
+    if isinstance(ckpt, dict) and "module" in ckpt:
+        ckpt = ckpt["module"]
+    out = {}
+    for k, v in ckpt.items():
+        if hasattr(v, "numpy"):
+            out[k] = v.detach().float().numpy()
+    return out
+
+
+def strip_prefix(sd: Dict[str, np.ndarray], prefix: str) -> Dict[str, np.ndarray]:
+    plen = len(prefix)
+    return {k[plen:]: v for k, v in sd.items() if k.startswith(prefix)}
+
+
+# ---------------------------------------------------------------------------
+# interpolation utilities (reference models/beit2.py:572-849)
+
+def interpolate_abs_pos_embed(pos: np.ndarray, num_patches: int,
+                              num_extra_tokens: int = 1) -> np.ndarray:
+    """Bicubic 2D interpolation of absolute position embeddings
+    (reference models/beit2.py:753-849, models/xfm.py:455-462)."""
+    if pos.ndim == 2:
+        pos = pos[None]
+    n_old = pos.shape[1] - num_extra_tokens
+    if n_old == num_patches:
+        return pos
+    g_old = int(round(n_old ** 0.5))
+    g_new = int(round(num_patches ** 0.5))
+    extra = pos[:, :num_extra_tokens]
+    grid = pos[:, num_extra_tokens:].reshape(1, g_old, g_old, -1)
+    grid = jax.image.resize(jnp.asarray(grid), (1, g_new, g_new, grid.shape[-1]),
+                            method="cubic")
+    grid = np.asarray(grid).reshape(1, g_new * g_new, -1)
+    return np.concatenate([extra, grid], axis=1)
+
+
+def interpolate_rel_pos_bias_table(table: np.ndarray,
+                                   dst_window: tuple[int, int]) -> np.ndarray:
+    """Geometric-progression interpolation of BEiT-2 relative-position bias
+    tables across window sizes (reference models/beit2.py:572-701). The 3
+    trailing cls distances are carried over unchanged."""
+    src_num, heads = table.shape
+    dst_num = num_relative_distance(dst_window)
+    if src_num == dst_num:
+        return table
+    src_size = int(round((src_num - 3) ** 0.5))
+    dst_size = 2 * dst_window[0] - 1
+    extra = table[-3:]
+    body = table[:-3].reshape(src_size, src_size, heads)
+
+    # geometric spacing of source coordinates (reference models/beit2.py:610-650)
+    def geometric_points(n, target_half):
+        # find q with sum_{i<n/2} q^i covering target_half
+        lo, hi = 1.0001, 1.5
+        for _ in range(60):
+            q = (lo + hi) / 2
+            gp = (q ** ((n // 2)) - 1) / (q - 1)
+            if gp > target_half:
+                hi = q
+            else:
+                lo = q
+        q = (lo + hi) / 2
+        dis = []
+        cur = 1.0
+        for i in range(n // 2):
+            dis.append(cur)
+            cur += q ** (i + 1)
+        r = [-d for d in reversed(dis)]
+        return np.array(r + [0.0] + dis) if n % 2 == 1 else np.array(
+            r + dis)
+
+    src_x = geometric_points(src_size, (dst_size // 2) * 1.0) \
+        if src_size != dst_size else np.arange(src_size, dtype=np.float64)
+    if src_size != dst_size:
+        dst_x = np.arange(-(dst_size // 2), dst_size // 2 + 1, dtype=np.float64)
+    else:
+        dst_x = src_x
+
+    from scipy import interpolate as si
+
+    out = np.zeros((dst_size, dst_size, heads), np.float32)
+    for h in range(heads):
+        f = si.RectBivariateSpline(src_x, src_x, body[:, :, h].astype(np.float64),
+                                   kx=min(3, src_size - 1),
+                                   ky=min(3, src_size - 1))
+        out[:, :, h] = f(dst_x, dst_x).astype(np.float32)
+    return np.concatenate([out.reshape(dst_size * dst_size, heads),
+                           extra], axis=0)
+
+
+# ---------------------------------------------------------------------------
+# text encoder import (HF roberta/bert fork naming → TextTransformer tree)
+
+def _ln(sd, key):
+    return {"scale": sd[f"{key}.weight"], "bias": sd[f"{key}.bias"]}
+
+
+def _dense(sd, key):
+    return {"kernel": sd[f"{key}.weight"].T, "bias": sd[f"{key}.bias"]}
+
+
+def import_text_encoder(sd: Dict[str, np.ndarray], config: TextConfig,
+                        with_mlm: bool = False) -> Dict[str, Any]:
+    """`sd` is rooted at the bare model (e.g. after stripping
+    'text_encoder.roberta.'). Produces the TextTransformer param subtree."""
+    p: Dict[str, Any] = {}
+    emb = "embeddings"
+    p["embeddings"] = {
+        "word_embeddings": {"embedding": sd[f"{emb}.word_embeddings.weight"]},
+        "position_embeddings": {
+            "embedding": sd[f"{emb}.position_embeddings.weight"]},
+        "token_type_embeddings": {
+            "embedding": sd[f"{emb}.token_type_embeddings.weight"]},
+        "LayerNorm": _ln(sd, f"{emb}.LayerNorm"),
+    }
+    for i in range(config.num_hidden_layers):
+        b = f"encoder.layer.{i}"
+        layer = {
+            "attention": {
+                "query": _dense(sd, f"{b}.attention.self.query"),
+                "key": _dense(sd, f"{b}.attention.self.key"),
+                "value": _dense(sd, f"{b}.attention.self.value"),
+                "attn_out": _dense(sd, f"{b}.attention.output.dense"),
+                "output_LayerNorm": _ln(sd, f"{b}.attention.output.LayerNorm"),
+            },
+            "intermediate_dense": _dense(sd, f"{b}.intermediate.dense"),
+            "output_dense": _dense(sd, f"{b}.output.dense"),
+            "ffn_LayerNorm": _ln(sd, f"{b}.output.LayerNorm"),
+        }
+        if f"{b}.crossattention.self.query.weight" in sd:
+            layer["crossattention"] = {
+                "query": _dense(sd, f"{b}.crossattention.self.query"),
+                "key": _dense(sd, f"{b}.crossattention.self.key"),
+                "value": _dense(sd, f"{b}.crossattention.self.value"),
+                "attn_out": _dense(sd, f"{b}.crossattention.output.dense"),
+                "output_LayerNorm": _ln(sd,
+                                        f"{b}.crossattention.output.LayerNorm"),
+            }
+        p[f"layer_{i}"] = layer
+
+    if with_mlm:
+        if "lm_head.dense.weight" in sd:  # roberta naming
+            p["mlm_head"] = {
+                "dense": _dense(sd, "lm_head.dense"),
+                "layer_norm": _ln(sd, "lm_head.layer_norm"),
+                "bias": sd.get("lm_head.bias",
+                               sd.get("lm_head.decoder.bias")),
+            }
+        elif "cls.predictions.transform.dense.weight" in sd:  # bert naming
+            p["mlm_head"] = {
+                "dense": _dense(sd, "cls.predictions.transform.dense"),
+                "layer_norm": _ln(sd, "cls.predictions.transform.LayerNorm"),
+                "bias": sd["cls.predictions.bias"],
+            }
+    return p
+
+
+# ---------------------------------------------------------------------------
+# BEiT-2 import
+
+def import_beit2(sd: Dict[str, np.ndarray], config: VisionConfig) -> Dict[str, Any]:
+    from ..ops.patch_embed import patchify_kernel_from_conv
+
+    p: Dict[str, Any] = {
+        "patch_embed_kernel": np.asarray(
+            patchify_kernel_from_conv(jnp.asarray(sd["patch_embed.proj.weight"]))),
+        "patch_embed_bias": sd["patch_embed.proj.bias"],
+        "cls_token": sd["cls_token"],
+        "mask_token": sd["mask_token"],
+    }
+    if "pos_embed" in sd and config.use_abs_pos_emb:
+        p["pos_embed"] = interpolate_abs_pos_embed(sd["pos_embed"],
+                                                   config.num_patches)
+    window = (config.grid_size, config.grid_size)
+    for i in range(config.depth):
+        b = f"blocks.{i}"
+        blk = {
+            "norm1": _ln(sd, f"{b}.norm1"),
+            "norm2": _ln(sd, f"{b}.norm2"),
+            "gamma_1": sd[f"{b}.gamma_1"],
+            "gamma_2": sd[f"{b}.gamma_2"],
+            "fc1": _dense(sd, f"{b}.mlp.fc1"),
+            "fc2": _dense(sd, f"{b}.mlp.fc2"),
+            "attn": {
+                "qkv": {"kernel": sd[f"{b}.attn.qkv.weight"].T},
+                "q_bias": sd[f"{b}.attn.q_bias"],
+                "v_bias": sd[f"{b}.attn.v_bias"],
+                "proj": _dense(sd, f"{b}.attn.proj"),
+                "relative_position_bias_table": interpolate_rel_pos_bias_table(
+                    sd[f"{b}.attn.relative_position_bias_table"], window),
+            },
+        }
+        p[f"block_{i}"] = blk
+    if "fc_norm.weight" in sd:
+        p["fc_norm"] = _ln(sd, "fc_norm")
+    elif "norm.weight" in sd:
+        p["final_norm"] = _ln(sd, "norm")
+    return p
+
+
+# ---------------------------------------------------------------------------
+# MLP heads built with nn.Sequential in torch (reference models/xfm.py:115-121)
+
+def import_mlp_head(sd: Dict[str, np.ndarray], prefix: str) -> Dict[str, Any]:
+    return {
+        "fc1": _dense(sd, f"{prefix}.0"),
+        "ln": _ln(sd, f"{prefix}.1"),
+        "fc2": _dense(sd, f"{prefix}.3"),
+    }
+
+
+def import_deep_mlp_head(sd: Dict[str, np.ndarray], prefix: str) -> Dict[str, Any]:
+    """6-Linear Sequential (reference models/model_classification.py:38-53):
+    indices 0,3,6,9 are Linear+LN pairs, 12 the output Linear."""
+    out: Dict[str, Any] = {}
+    for j, idx in enumerate((0, 3, 6, 9)):
+        out[f"fc{j}"] = _dense(sd, f"{prefix}.{idx}")
+        out[f"ln{j}"] = _ln(sd, f"{prefix}.{idx + 1}")
+    out["out"] = _dense(sd, f"{prefix}.12")
+    return out
+
+
+# ---------------------------------------------------------------------------
+# full XFM checkpoint
+
+def import_xfm_checkpoint(sd: Dict[str, np.ndarray], xfm_config,
+                          head: str | None = None) -> Dict[str, Any]:
+    """Map a reference XFM state dict (e.g. xfm_1b3.th) onto the XFMBase
+    param tree. `sd` keys look like `vision_encoder.blocks.0...`,
+    `text_encoder.roberta.embeddings...`, `fusion_encoder.roberta...`,
+    `vision_proj.weight`, `temp`, `itm_head.0.weight`
+    (reference models/xfm.py:471-539 module layout)."""
+    c = xfm_config
+    backbone: Dict[str, Any] = {}
+
+    vis_sd = strip_prefix(sd, "vision_encoder.")
+    if vis_sd:
+        backbone["vision_encoder"] = import_beit2(vis_sd, c.vision)
+
+    for name, cfg, with_mlm in (("text_encoder", c.text, c.use_mlm_loss),
+                                ("fusion_encoder", c.fusion, True)):
+        sub = strip_prefix(sd, f"{name}.roberta.")
+        lm = {k: v for k, v in sd.items()
+              if k.startswith(f"{name}.lm_head.")}
+        sub.update({k[len(name) + 1:]: v for k, v in lm.items()})
+        if not sub:
+            sub = strip_prefix(sd, f"{name}.bert.")
+            cls = {k[len(name) + 1:]: v for k, v in sd.items()
+                   if k.startswith(f"{name}.cls.")}
+            sub.update(cls)
+        if sub:
+            backbone[name] = import_text_encoder(sub, cfg, with_mlm=with_mlm)
+
+    if "vision_proj.weight" in sd:
+        backbone["vision_proj"] = _dense(sd, "vision_proj")
+        backbone["text_proj"] = _dense(sd, "text_proj")
+    if "temp" in sd and c.learnable_temp and c.use_contrastive_loss:
+        backbone["temp"] = sd["temp"].reshape(())
+    if "itm_head.0.weight" in sd and c.use_matching_loss:
+        backbone["itm_head"] = import_mlp_head(sd, "itm_head")
+    if "bbox_head.0.weight" in sd and c.use_bbox_loss:
+        backbone["bbox_head"] = import_mlp_head(sd, "bbox_head")
+    if "fusion_proj.weight" in sd:
+        backbone["fusion_proj"] = _dense(sd, "fusion_proj")
+
+    params: Dict[str, Any] = {"backbone": backbone}
+    if head == "cls_mlp" and "cls_head.0.weight" in sd:
+        params["cls_head"] = import_mlp_head(sd, "cls_head")
+    elif head == "cls_deep" and "cls_head.0.weight" in sd:
+        params["cls_head"] = import_deep_mlp_head(sd, "cls_head")
+    return params
+
+
+def to_jax(tree):
+    return jax.tree.map(lambda x: jnp.asarray(x), tree)
+
+
+def merge_params(init_params, imported):
+    """Overlay imported params onto a freshly-initialized tree (strict=False
+    load semantics, reference models/xfm.py:554-557). Returns (params,
+    missing, loaded) where missing lists init-only paths."""
+    import flax
+
+    flat_init = flax.traverse_util.flatten_dict(init_params, sep="/")
+    flat_imp = flax.traverse_util.flatten_dict(imported, sep="/")
+    missing = [k for k in flat_init if k not in flat_imp]
+    unexpected = [k for k in flat_imp if k not in flat_init]
+    merged = dict(flat_init)
+    for k, v in flat_imp.items():
+        if k in flat_init:
+            tgt = flat_init[k]
+            arr = jnp.asarray(v, dtype=tgt.dtype).reshape(tgt.shape)
+            merged[k] = arr
+    return (flax.traverse_util.unflatten_dict(merged, sep="/"), missing,
+            unexpected)
+
+
+# ---------------------------------------------------------------------------
+# Orbax native checkpoints (reference utils/checkpointer.py equivalent)
+
+def save_checkpoint(ckpt_dir: str, state, step: int | None = None,
+                    keep: int = 3):
+    import orbax.checkpoint as ocp
+
+    ckpt_dir = os.path.abspath(ckpt_dir)
+    os.makedirs(ckpt_dir, exist_ok=True)
+    mngr = ocp.CheckpointManager(
+        ckpt_dir, options=ocp.CheckpointManagerOptions(max_to_keep=keep))
+    step = int(step if step is not None else state.step)
+    payload = {"params": state.params, "opt_state": state.opt_state,
+               "step": state.step}
+    mngr.save(step, args=ocp.args.StandardSave(payload))
+    mngr.wait_until_finished()
+    return ckpt_dir
+
+
+def restore_checkpoint(ckpt_dir: str, state, step: int | None = None):
+    import orbax.checkpoint as ocp
+
+    ckpt_dir = os.path.abspath(ckpt_dir)
+    mngr = ocp.CheckpointManager(ckpt_dir)
+    step = step if step is not None else mngr.latest_step()
+    if step is None:
+        return state
+    payload = {"params": state.params, "opt_state": state.opt_state,
+               "step": state.step}
+    restored = mngr.restore(step, args=ocp.args.StandardRestore(payload))
+    return state.replace(params=restored["params"],
+                         opt_state=restored["opt_state"],
+                         step=restored["step"])

@@ -1,0 +1,125 @@
+"""Optimizers: 4-group AdamW + LARS, as optax transforms.
+
+Replicates reference optim.py:
+- AdamW betas (0.9, 0.98), eps 1e-8 (reference optim.py:48);
+- 4 param groups {decay, no-decay} × {base lr, lr×lr_mult}, where the boosted
+  group is the model's fresh heads ("init_params", reference optim.py:10-46)
+  and the no-decay set is biases + all normalization params
+  (reference optim.py:18-26);
+- LARS for linear probes, skipping rate scaling/decay for ≤1D params
+  (reference optim.py:53-87).
+
+In flax terms the no-decay set is: any param named `bias`, any LayerNorm
+`scale`, LayerScale gammas, cls/mask tokens and other 1-D/0-D leaves — we use
+ndim <= 1, which covers exactly the torch name-list for these models.
+"""
+from __future__ import annotations
+
+import re
+from typing import Callable, Sequence
+
+import jax
+import jax.numpy as jnp
+import optax
+
+# Fresh-head path fragments boosted by lr_mult — mirrors `init_params`
+# collection (reference models/xfm.py:476,502-518 and task heads).
+DEFAULT_BOOST_PATTERNS = (
+    r".*vision_proj.*", r".*text_proj.*", r"(^|.*/)temp$",
+    r".*itm_head.*", r".*bbox_head.*", r".*cls_head.*", r".*mim_lm_head.*",
+)
+
+
+def _path_str(path) -> str:
+    return "/".join(str(getattr(k, "key", getattr(k, "idx", k))) for k in path)
+
+
+def decay_mask(params):
+    return jax.tree.map(lambda p: jnp.ndim(p) > 1, params)
+
+
+def boost_mask(params, patterns: Sequence[str] = DEFAULT_BOOST_PATTERNS):
+    pats = [re.compile(p) for p in patterns]
+
+    def one(path, _):
+        s = _path_str(path)
+        return any(p.match(s) for p in pats)
+
+    return jax.tree_util.tree_map_with_path(one, params)
+
+
+def create_optimizer(
+    params,
+    learning_rate: Callable[[int], float] | float,
+    weight_decay: float = 0.01,
+    lr_mult: float = 1.0,
+    b1: float = 0.9,
+    b2: float = 0.98,
+    eps: float = 1e-8,
+    clip_grad_norm: float | None = 1.0,
+    boost_patterns: Sequence[str] = DEFAULT_BOOST_PATTERNS,
+) -> optax.GradientTransformation:
+    """AdamW with the reference's 4 param groups.
+
+    update = lr_group * (adam(g) + wd_group * p), matching torch AdamW where
+    lr_group = lr*(lr_mult if boosted) and wd_group = 0 for no-decay params.
+    Gradient clipping (global norm 1.0,
+    reference accelerators/apex_ddp_accelerator.py:100-110) runs first.
+    """
+    dmask = decay_mask(params)
+    chain = []
+    if clip_grad_norm:
+        chain.append(optax.clip_by_global_norm(clip_grad_norm))
+    chain.append(optax.scale_by_adam(b1=b1, b2=b2, eps=eps))
+    if weight_decay:
+        chain.append(optax.add_decayed_weights(weight_decay, mask=dmask))
+    if lr_mult != 1.0:
+        bmask = boost_mask(params, boost_patterns)
+        chain.append(optax.masked(optax.scale(lr_mult), bmask))
+    chain.append(optax.scale_by_learning_rate(learning_rate))
+    return optax.chain(*chain)
+
+
+def create_optimizer_from_config(params, config: dict,
+                                 learning_rate) -> optax.GradientTransformation:
+    opt = config.get("optimizer", {}) or {}
+    acc = config.get("accelerator", {}) or {}
+    return create_optimizer(
+        params,
+        learning_rate,
+        weight_decay=opt.get("weight_decay", 0.01),
+        lr_mult=opt.get("lr_mult", 1.0),
+        clip_grad_norm=acc.get("CLIP_GRAD_NORM", 1.0),
+    )
+
+
+def lars(learning_rate, weight_decay: float = 0.0, momentum: float = 0.9,
+         trust_coefficient: float = 0.001) -> optax.GradientTransformation:
+    """LARS (reference optim.py:53-87): trust-ratio scaling + heavy-ball
+    momentum; ≤1D params get plain SGD-with-momentum, no decay."""
+
+    def init(params):
+        return dict(mu=jax.tree.map(jnp.zeros_like, params),
+                    count=jnp.zeros((), jnp.int32))
+
+    def update(grads, state, params):
+        def one(g, p, mu):
+            if p.ndim > 1:
+                g = g + weight_decay * p
+                pn = jnp.linalg.norm(p)
+                gn = jnp.linalg.norm(g)
+                q = jnp.where(pn > 0,
+                              jnp.where(gn > 0, trust_coefficient * pn / gn,
+                                        1.0),
+                              1.0)
+                g = g * q
+            return mu * momentum + g
+
+        mu = jax.tree.map(one, grads, params, state["mu"])
+        count = state["count"] + 1
+        lr = (learning_rate(count) if callable(learning_rate)
+              else learning_rate)
+        updates = jax.tree.map(lambda m: -lr * m, mu)
+        return updates, dict(mu=mu, count=count)
+
+    return optax.GradientTransformation(init, update)
