@@ -98,16 +98,23 @@ def main():
             lambda p: loss_fn(p, batch, rng), has_aux=True)(state.params)
         return state.apply_gradients(grads), loss
 
-    # warmup/compile
+    # warmup/compile; a host fetch (float) forces true completion — through
+    # the axon tunnel block_until_ready alone does not.
     state, loss = step(state, batch, rng)
-    loss.block_until_ready()
+    _ = float(loss)
+
+    # measure host↔device round-trip to subtract from the loop timing
+    t0 = time.perf_counter()
+    for i in range(5):
+        _ = float(loss)
+    rtt = (time.perf_counter() - t0) / 5
 
     iters = int(os.environ.get("XFM_BENCH_ITERS", "10"))
     t0 = time.perf_counter()
     for i in range(iters):
         state, loss = step(state, batch, jax.random.fold_in(rng, i))
-    loss.block_until_ready()
-    dt = (time.perf_counter() - t0) / iters
+    _ = float(loss)  # final fetch: the donated-state chain serializes steps
+    dt = max(time.perf_counter() - t0 - rtt, 1e-9) / iters
 
     samples_per_sec = B / dt
     flops = pretrain_step_flops(B, T, M, cfg.vision.num_patches)

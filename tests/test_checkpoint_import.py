@@ -1,0 +1,188 @@
+"""Checkpoint-translation tests (SURVEY.md §4.2): synthetic reference-style
+torch state dicts → Flax param tree, exercising every rename rule the
+importer implements (reference models/xfm.py:26-78,408-468 naming)."""
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from xfm_tpu.models import (TextConfig, VisionConfig, XFMConfig,
+                            XFMForPretrain)
+from xfm_tpu.train.checkpoint import (import_xfm_checkpoint, merge_params,
+                                      to_jax, interpolate_abs_pos_embed,
+                                      interpolate_rel_pos_bias_table)
+from xfm_tpu.models.beit2 import num_relative_distance
+
+
+def tiny_cfg():
+    vis = VisionConfig(image_res=32, patch_size=16, embed_dim=24, depth=2,
+                       num_heads=2, drop_path_rate=0.0)
+    txt = TextConfig.roberta_base(hidden_size=24, num_hidden_layers=2,
+                                  num_attention_heads=2,
+                                  intermediate_size=48, vocab_size=60,
+                                  max_position_embeddings=30,
+                                  fusion_layer=2, encoder_width=24)
+    fus = TextConfig.roberta_base(hidden_size=24, num_hidden_layers=2,
+                                  num_attention_heads=2,
+                                  intermediate_size=48, vocab_size=60,
+                                  max_position_embeddings=30,
+                                  fusion_layer=0, encoder_width=24)
+    return XFMConfig(vision=vis, text=txt, fusion=fus, embed_dim=12,
+                     use_contrastive_loss=True, use_matching_loss=True,
+                     use_mlm_loss=True, use_bbox_loss=True)
+
+
+def fake_text_sd(prefix, cfg: TextConfig, cross_layers, rng):
+    """Reference RobertaForMaskedLM naming: <prefix>.roberta.* + <prefix>.lm_head.*"""
+    h, i, v = cfg.hidden_size, cfg.intermediate_size, cfg.vocab_size
+    sd = {}
+
+    def lin(name, din, dout):
+        sd[f"{name}.weight"] = rng.randn(dout, din).astype(np.float32)
+        sd[f"{name}.bias"] = rng.randn(dout).astype(np.float32)
+
+    def ln(name, d):
+        sd[f"{name}.weight"] = rng.randn(d).astype(np.float32)
+        sd[f"{name}.bias"] = rng.randn(d).astype(np.float32)
+
+    r = f"{prefix}.roberta"
+    sd[f"{r}.embeddings.word_embeddings.weight"] = rng.randn(v, h).astype(np.float32)
+    sd[f"{r}.embeddings.position_embeddings.weight"] = rng.randn(
+        cfg.max_position_embeddings, h).astype(np.float32)
+    sd[f"{r}.embeddings.token_type_embeddings.weight"] = rng.randn(
+        cfg.type_vocab_size, h).astype(np.float32)
+    ln(f"{r}.embeddings.LayerNorm", h)
+    for li in range(cfg.num_hidden_layers):
+        b = f"{r}.encoder.layer.{li}"
+        for qkv in ("query", "key", "value"):
+            lin(f"{b}.attention.self.{qkv}", h, h)
+        lin(f"{b}.attention.output.dense", h, h)
+        ln(f"{b}.attention.output.LayerNorm", h)
+        if li in cross_layers:
+            for qkv, din in (("query", h), ("key", cfg.encoder_width),
+                             ("value", cfg.encoder_width)):
+                lin(f"{b}.crossattention.self.{qkv}", din, h)
+            lin(f"{b}.crossattention.output.dense", h, h)
+            ln(f"{b}.crossattention.output.LayerNorm", h)
+        lin(f"{b}.intermediate.dense", h, i)
+        lin(f"{b}.output.dense", i, h)
+        ln(f"{b}.output.LayerNorm", h)
+    lin(f"{prefix}.lm_head.dense", h, h)
+    ln(f"{prefix}.lm_head.layer_norm", h)
+    sd[f"{prefix}.lm_head.bias"] = rng.randn(v).astype(np.float32)
+    return sd
+
+
+def fake_vision_sd(cfg: VisionConfig, rng):
+    h = cfg.embed_dim
+    sd = {
+        "vision_encoder.patch_embed.proj.weight": rng.randn(
+            h, 3, cfg.patch_size, cfg.patch_size).astype(np.float32),
+        "vision_encoder.patch_embed.proj.bias": rng.randn(h).astype(np.float32),
+        "vision_encoder.cls_token": rng.randn(1, 1, h).astype(np.float32),
+        "vision_encoder.mask_token": rng.randn(1, 1, h).astype(np.float32),
+        "vision_encoder.fc_norm.weight": rng.randn(h).astype(np.float32),
+        "vision_encoder.fc_norm.bias": rng.randn(h).astype(np.float32),
+    }
+    nrel = num_relative_distance((cfg.grid_size, cfg.grid_size))
+    for i in range(cfg.depth):
+        b = f"vision_encoder.blocks.{i}"
+        sd[f"{b}.norm1.weight"] = rng.randn(h).astype(np.float32)
+        sd[f"{b}.norm1.bias"] = rng.randn(h).astype(np.float32)
+        sd[f"{b}.norm2.weight"] = rng.randn(h).astype(np.float32)
+        sd[f"{b}.norm2.bias"] = rng.randn(h).astype(np.float32)
+        sd[f"{b}.gamma_1"] = rng.randn(h).astype(np.float32)
+        sd[f"{b}.gamma_2"] = rng.randn(h).astype(np.float32)
+        sd[f"{b}.attn.qkv.weight"] = rng.randn(3 * h, h).astype(np.float32)
+        sd[f"{b}.attn.q_bias"] = rng.randn(h).astype(np.float32)
+        sd[f"{b}.attn.v_bias"] = rng.randn(h).astype(np.float32)
+        sd[f"{b}.attn.proj.weight"] = rng.randn(h, h).astype(np.float32)
+        sd[f"{b}.attn.proj.bias"] = rng.randn(h).astype(np.float32)
+        sd[f"{b}.attn.relative_position_bias_table"] = rng.randn(
+            nrel, cfg.num_heads).astype(np.float32)
+        sd[f"{b}.mlp.fc1.weight"] = rng.randn(int(h * 4), h).astype(np.float32)
+        sd[f"{b}.mlp.fc1.bias"] = rng.randn(int(h * 4)).astype(np.float32)
+        sd[f"{b}.mlp.fc2.weight"] = rng.randn(h, int(h * 4)).astype(np.float32)
+        sd[f"{b}.mlp.fc2.bias"] = rng.randn(h).astype(np.float32)
+    return sd
+
+
+def fake_head_sd(rng, text_width=24, embed_dim=12):
+    sd = {}
+    sd["vision_proj.weight"] = rng.randn(embed_dim, 24).astype(np.float32)
+    sd["vision_proj.bias"] = rng.randn(embed_dim).astype(np.float32)
+    sd["text_proj.weight"] = rng.randn(embed_dim, text_width).astype(np.float32)
+    sd["text_proj.bias"] = rng.randn(embed_dim).astype(np.float32)
+    sd["temp"] = np.asarray([0.07], np.float32)
+    for head, out in (("itm_head", 2), ("bbox_head", 4)):
+        sd[f"{head}.0.weight"] = rng.randn(text_width * 2, text_width).astype(np.float32)
+        sd[f"{head}.0.bias"] = rng.randn(text_width * 2).astype(np.float32)
+        sd[f"{head}.1.weight"] = rng.randn(text_width * 2).astype(np.float32)
+        sd[f"{head}.1.bias"] = rng.randn(text_width * 2).astype(np.float32)
+        sd[f"{head}.3.weight"] = rng.randn(out, text_width * 2).astype(np.float32)
+        sd[f"{head}.3.bias"] = rng.randn(out).astype(np.float32)
+    return sd
+
+
+def test_full_xfm_import_covers_tree():
+    cfg = tiny_cfg()
+    rng = np.random.RandomState(0)
+    sd = {}
+    sd.update(fake_vision_sd(cfg.vision, rng))
+    sd.update(fake_text_sd("text_encoder", cfg.text, cross_layers=set(),
+                           rng=rng))
+    sd.update(fake_text_sd("fusion_encoder", cfg.fusion,
+                           cross_layers={0, 1}, rng=rng))
+    sd.update(fake_head_sd(rng))
+
+    model = XFMForPretrain(cfg)
+    batch = dict(images=jnp.ones((2, 32, 32, 3)),
+                 text_ids=jnp.ones((2, 8), jnp.int32),
+                 text_atts=jnp.ones((2, 8), jnp.int32))
+    init = model.init({"params": jax.random.PRNGKey(0)}, batch["images"],
+                      batch["text_ids"], batch["text_atts"],
+                      method=XFMForPretrain.init_all)["params"]
+    imported = import_xfm_checkpoint(sd, cfg)
+    merged, missing, unexpected = merge_params(init, to_jax(imported))
+    assert not unexpected, unexpected
+    # everything except flax-only params (the tied mlm decoder has no torch
+    # twin beyond lm_head.bias) must be covered
+    assert not missing, missing
+
+    # spot-check value + transpose: query kernel is torch weight.T
+    q_t = sd["fusion_encoder.roberta.encoder.layer.0.attention.self.query.weight"]
+    q_f = merged["backbone"]["fusion_encoder"]["layer_0"]["attention"]["query"]["kernel"]
+    np.testing.assert_allclose(np.asarray(q_f), q_t.T)
+    # cross k kernel comes from encoder_width
+    k_f = merged["backbone"]["fusion_encoder"]["layer_0"]["crossattention"]["key"]["kernel"]
+    assert k_f.shape == (24, 24)
+    # patch conv folded to matmul kernel
+    pk = merged["backbone"]["vision_encoder"]["patch_embed_kernel"]
+    assert pk.shape == (16 * 16 * 3, 24)
+    # model still runs with merged params
+    out = model.apply({"params": merged}, **batch, ret_mlm=False,
+                      rngs={"hardneg": jax.random.PRNGKey(1)})
+    assert np.isfinite(float(out["loss_itc"]))
+
+
+def test_abs_pos_interpolation():
+    pos = np.random.RandomState(0).randn(1, 1 + 4, 8).astype(np.float32)
+    out = interpolate_abs_pos_embed(pos, num_patches=16)
+    assert out.shape == (1, 17, 8)
+    # cls row untouched
+    np.testing.assert_allclose(out[0, 0], pos[0, 0])
+
+
+def test_rel_pos_bias_interpolation():
+    src_window = (4, 4)
+    dst_window = (6, 6)
+    table = np.random.RandomState(0).randn(
+        num_relative_distance(src_window), 3).astype(np.float32)
+    out = interpolate_rel_pos_bias_table(table, dst_window)
+    assert out.shape == (num_relative_distance(dst_window), 3)
+    # the 3 cls distances carry over unchanged
+    np.testing.assert_allclose(out[-3:], table[-3:])
+    # same window → identity
+    same = interpolate_rel_pos_bias_table(table, src_window)
+    np.testing.assert_allclose(same, table)

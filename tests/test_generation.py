@@ -1,0 +1,103 @@
+"""Generation stack tests: KV-cached decoding vs full forward, VQA ranking."""
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from xfm_tpu.models import (TextConfig, VisionConfig, XFMConfig,
+                            XFMForCaptioning, XFMForVQA, generate)
+
+
+def tiny_cfg(decoder_layers=2):
+    vis = VisionConfig(image_res=32, patch_size=16, embed_dim=32, depth=1,
+                       num_heads=2, drop_path_rate=0.0)
+    txt = TextConfig.roberta_base(hidden_size=32, num_hidden_layers=2,
+                                  num_attention_heads=2,
+                                  intermediate_size=64, vocab_size=100,
+                                  fusion_layer=2, encoder_width=32,
+                                  max_position_embeddings=64)
+    fus = TextConfig.roberta_base(hidden_size=32, num_hidden_layers=2,
+                                  num_attention_heads=2,
+                                  intermediate_size=64, vocab_size=100,
+                                  fusion_layer=0, encoder_width=32,
+                                  max_position_embeddings=64)
+    return XFMConfig(vision=vis, text=txt, fusion=fus, embed_dim=16)
+
+
+def test_caption_train_loss_and_greedy_decode_consistency():
+    cfg = tiny_cfg()
+    model = XFMForCaptioning(cfg, num_dec_layers=2, pad_token_id=1)
+    B, L = 2, 6
+    images = jnp.ones((B, 32, 32, 3))
+    ids = jnp.asarray(np.random.RandomState(0).randint(4, 99, (B, L)),
+                      jnp.int32)
+    atts = jnp.ones((B, L), jnp.int32)
+    variables = model.init(jax.random.PRNGKey(0), images, ids, atts,
+                           method=XFMForCaptioning.init_all)
+    loss = model.apply(variables, images, ids, atts, train=True)
+    assert np.isfinite(float(loss))
+
+    # KV-cached decoding must match teacher-forced logits on the same prefix
+    seqs, logps = generate(model, variables, images, bos_id=1, eos_id=2,
+                           pad_id=1, max_len=5, greedy=True)
+    assert seqs.shape == (B, 5) and logps.shape == (B, 5)
+
+    # teacher-forced check: feed [bos, seqs[:, :-1]] through the full
+    # decoder; argmax at each position must reproduce the greedy tokens
+    # until eos.
+    prefix = jnp.concatenate([jnp.full((B, 1), 1, jnp.int32),
+                              seqs[:, :-1]], axis=1)
+    logits = model.apply(variables, images, prefix,
+                         jnp.ones_like(prefix), train=False)
+    preds = np.asarray(jnp.argmax(logits, -1))
+    got = np.asarray(seqs)
+    for b in range(B):
+        for t in range(5):
+            np.testing.assert_equal(preds[b, t], got[b, t])
+            if got[b, t] == 2:  # eos
+                break
+
+
+def test_caption_sampling_logprobs():
+    cfg = tiny_cfg()
+    model = XFMForCaptioning(cfg, num_dec_layers=2, pad_token_id=1)
+    images = jnp.ones((1, 32, 32, 3))
+    ids = jnp.ones((1, 4), jnp.int32) * 3
+    variables = model.init(jax.random.PRNGKey(0), images, ids,
+                           jnp.ones_like(ids),
+                           method=XFMForCaptioning.init_all)
+    seqs, logps = generate(model, variables, images, bos_id=1, eos_id=2,
+                           pad_id=1, max_len=6, greedy=False,
+                           rng=jax.random.PRNGKey(7),
+                           num_return_sequences=3)
+    assert seqs.shape == (3, 6)
+    assert np.all(np.asarray(logps) <= 0.0)
+
+
+def test_vqa_train_and_rank():
+    cfg = tiny_cfg()
+    model = XFMForVQA(cfg, num_dec_layers=2, pad_token_id=1)
+    B, Lq, La, NA = 2, 5, 4, 6
+    r = np.random.RandomState(0)
+    images = jnp.ones((B, 32, 32, 3))
+    q_ids = jnp.asarray(r.randint(4, 99, (B, Lq)), jnp.int32)
+    q_atts = jnp.ones((B, Lq), jnp.int32)
+    # flat answers: 3 for q0, 2 for q1 → 5 total (padded to 6 w/ weight 0)
+    ans = jnp.asarray(r.randint(4, 99, (NA, La)), jnp.int32)
+    ans = ans.at[:, 0].set(1)  # bos
+    ques_idx = jnp.asarray([0, 0, 0, 1, 1, 1], jnp.int32)
+    weights = jnp.asarray([0.5, 0.3, 0.2, 0.7, 0.3, 0.0], jnp.float32)
+    variables = model.init(jax.random.PRNGKey(0), images, q_ids, q_atts,
+                           method=XFMForVQA.init_all)
+    loss = model.apply(variables, images, q_ids, q_atts, answer_ids=ans,
+                       answer_atts=jnp.ones_like(ans), ques_idx=ques_idx,
+                       weights=weights, train=True)
+    assert np.isfinite(float(loss))
+
+    # ranking over an answer list of 6, k=3
+    topk_ids, topk_probs = model.apply(
+        variables, images, q_ids, q_atts, train=False,
+        answer_list_ids=ans, answer_list_atts=jnp.ones_like(ans), k=3)
+    assert topk_ids.shape == (B, 3)
+    p = np.asarray(topk_probs)
+    assert np.all(p[:, 0] >= p[:, 1]) and np.all(p >= 0)
+    assert np.all(np.asarray(topk_ids) < NA)

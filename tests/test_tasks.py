@@ -1,0 +1,110 @@
+"""End-to-end task smoke tests on synthetic data (SURVEY.md §4.5): tiny
+configs, 8-device CPU mesh, one epoch each."""
+import json
+import os
+import types
+
+import numpy as np
+import pytest
+import yaml
+from PIL import Image
+
+
+def tiny_model_keys():
+    return dict(
+        text_encoder="roberta-base", text_num_hidden_layers=2,
+        text_fusion_start_at=2, fusion_num_hidden_layers=2,
+        fusion_fusion_start_at=0, text_hidden_size=32,
+        text_num_attention_heads=2, text_intermediate_size=64,
+        image_res=32, patch_size=16, vision_embed_dim=32, vision_depth=1,
+        vision_num_heads=2, embed_dim=16,
+    )
+
+
+def write_images(tmp_path, n):
+    rng = np.random.default_rng(0)
+    names = []
+    for i in range(n):
+        arr = rng.integers(0, 255, (48, 48, 3), dtype=np.uint8)
+        name = f"img{i}.png"
+        Image.fromarray(arr).save(tmp_path / name)
+        names.append(name)
+    return names
+
+
+def make_args(cfg_path, out, **kw):
+    return types.SimpleNamespace(config=str(cfg_path), output_dir=str(out),
+                                 checkpoint=None, evaluate=False, bs=None,
+                                 epoch=None, seed=0, **kw)
+
+
+@pytest.mark.slow
+def test_retrieval_end_to_end(tmp_path):
+    names = write_images(tmp_path, 8)
+    train_ann = [{"image": n, "caption": f"a photo of thing {i}",
+                  "image_id": i} for i, n in enumerate(names)]
+    test_ann = [{"image": n, "caption": [f"a photo of thing {i}"]}
+                for i, n in enumerate(names)]
+    (tmp_path / "train.json").write_text(json.dumps(train_ann))
+    (tmp_path / "test.json").write_text(json.dumps(test_ann))
+    cfg = dict(tiny_model_keys(), train_file=[str(tmp_path / "train.json")],
+               test_file=str(tmp_path / "test.json"),
+               image_root=str(tmp_path), batch_size_train=8,
+               batch_size_test=8, k_test=4, max_tokens=12,
+               schedular={"sched": "linear", "lr": 1e-3, "epochs": 1,
+                          "num_warmup_steps": 0},
+               optimizer={"lr": 1e-3, "weight_decay": 0.01, "lr_mult": 2})
+    cfg_path = tmp_path / "ret.yaml"
+    yaml.safe_dump(cfg, open(cfg_path, "w"))
+
+    from xfm_tpu.tasks import retrieval
+
+    metrics = retrieval.main(make_args(cfg_path, tmp_path / "out"))
+    assert "best_r_mean" in metrics
+    assert os.path.exists(tmp_path / "out" / "log.txt")
+
+
+@pytest.mark.slow
+def test_nlvr_end_to_end(tmp_path):
+    names = write_images(tmp_path, 6)
+    ann = [{"images": [names[i], names[(i + 1) % 6]],
+            "sentence": f"the pair number {i} matches",
+            "label": "True" if i % 2 == 0 else "False"}
+           for i in range(6)]
+    (tmp_path / "nlvr.json").write_text(json.dumps(ann))
+    cfg = dict(tiny_model_keys(), train_file=[str(tmp_path / "nlvr.json")],
+               val_file=str(tmp_path / "nlvr.json"),
+               test_file=str(tmp_path / "nlvr.json"),
+               image_root=str(tmp_path), batch_size=3, max_tokens=12,
+               schedular={"sched": "linear", "lr": 1e-3, "epochs": 1,
+                          "num_warmup_steps": 0},
+               optimizer={"lr": 1e-3, "weight_decay": 0.01})
+    cfg_path = tmp_path / "nlvr.yaml"
+    yaml.safe_dump(cfg, open(cfg_path, "w"))
+
+    from xfm_tpu.tasks import nlvr
+
+    metrics = nlvr.main(make_args(cfg_path, tmp_path / "out"))
+    assert 0.0 <= metrics["best_val_acc"] <= 1.0
+
+
+@pytest.mark.slow
+def test_grounding_end_to_end(tmp_path):
+    names = write_images(tmp_path, 6)
+    ann = [{"image": n, "text": f"the region {i}",
+            "bbox": [4, 4, 20, 20], "ref_id": i}
+           for i, n in enumerate(names)]
+    (tmp_path / "g.json").write_text(json.dumps(ann))
+    cfg = dict(tiny_model_keys(), train_file=[str(tmp_path / "g.json")],
+               test_file=str(tmp_path / "g.json"),
+               image_root=str(tmp_path), batch_size=3, max_tokens=12,
+               schedular={"sched": "linear", "lr": 1e-3, "epochs": 1,
+                          "num_warmup_steps": 0},
+               optimizer={"lr": 1e-3, "weight_decay": 0.01})
+    cfg_path = tmp_path / "g.yaml"
+    yaml.safe_dump(cfg, open(cfg_path, "w"))
+
+    from xfm_tpu.tasks import grounding
+
+    metrics = grounding.main(make_args(cfg_path, tmp_path / "out"))
+    assert 0.0 <= metrics["best_iou50"] <= 1.0

@@ -81,9 +81,23 @@ def replicated(mesh: Mesh) -> NamedSharding:
 
 
 def shard_batch(mesh: Mesh, batch):
-    """Device_put a host batch with the batch dims sharded."""
+    """Device_put a host batch with the leading dim batch-sharded; arrays
+    whose leading dim doesn't divide the batch axes (e.g. remainder eval
+    batches) are replicated instead."""
     sh = batch_sharding(mesh)
-    return jax.tree.map(lambda x: jax.device_put(x, sh), batch)
+    rep = replicated(mesh)
+    axis_sizes = dict(zip(mesh.axis_names, mesh.devices.shape))
+    nbatch = axis_sizes.get(DATA_AXIS, 1) * axis_sizes.get(FSDP_AXIS, 1)
+
+    def put(x):
+        if x is None:
+            return None
+        shape = getattr(x, "shape", ())
+        if len(shape) >= 1 and shape[0] % nbatch == 0 and shape[0] > 0:
+            return jax.device_put(x, sh)
+        return jax.device_put(x, rep)
+
+    return jax.tree.map(put, batch)
 
 
 @dataclasses.dataclass(frozen=True)

@@ -18,4 +18,6 @@ from .task_models import (
     XFMForGrounding,
     DeepMLPHead,
 )
+from .generation import (XFMForVQA, XFMForCaptioning, generate,
+                         make_decoder_config, shift_lm_loss)
 from . import losses

@@ -56,6 +56,7 @@ class VisionConfig:
     attn_drop_rate: float = 0.0
     drop_path_rate: float = 0.1
     layer_norm_eps: float = 1e-6
+    remat: bool = False
     dtype: Any = jnp.float32
 
     @property
@@ -218,7 +219,11 @@ class BeitVisionTransformer(nn.Module):
                 "shared_rel_pos_table", nn.initializers.zeros,
                 (num_relative_distance(window), c.num_heads))
         dpr = np.linspace(0, c.drop_path_rate, c.depth)
-        self.blocks = [BeitBlock(c, drop_path=float(dpr[i]), name=f"block_{i}")
+        block_cls = BeitBlock
+        if c.remat:
+            block_cls = nn.remat(BeitBlock, static_argnums=(4,))
+        self.blocks = [block_cls(c, drop_path=float(dpr[i]),
+                                 name=f"block_{i}")
                        for i in range(c.depth)]
         if c.use_mean_pooling:
             self.fc_norm = nn.LayerNorm(epsilon=c.layer_norm_eps,
@@ -259,7 +264,7 @@ class BeitVisionTransformer(nn.Module):
             shared_rpb = jnp.transpose(rpb, (2, 0, 1))[None]
 
         for blk in self.blocks:
-            x = blk(x, rel_pos_bias=shared_rpb, deterministic=deterministic)
+            x = blk(x, shared_rpb, None, deterministic)
 
         # Drop cls, normalize patches, prepend mean-pooled patch feature
         # (reference models/beit2.py:456-466).

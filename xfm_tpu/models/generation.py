@@ -1,0 +1,268 @@
+"""Cross-modal generation: VQA answer ranking + captioning decoder
+(reference models/model_generation.py).
+
+TPU redesign notes:
+- The reference's variable answers-per-question python loop
+  (reference models/model_generation.py:110-117) becomes a flat
+  [num_answers] layout with a `ques_idx` gather — static shapes under jit
+  (built by data vqa_collate, reference dataset/__init__.py:202-210).
+- `rank_answer` (reference models/model_generation.py:146-202) keeps the
+  two-stage contract: first-token probs → top-k → full scoring → chain-rule
+  re-rank, all as fixed-k tensor ops.
+- Decoding runs as ONE jitted `lax.scan` over steps with the KV cache
+  threaded as carry (vs the reference's per-token python loop through HF
+  `generate`, reference models/xbert.py:1393-1484).
+"""
+from __future__ import annotations
+
+import dataclasses
+from typing import Optional
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+
+from .text_encoder import (TextConfig, TextTransformer, per_sample_lm_loss)
+from .xfm import XFMBase, XFMConfig
+
+
+def make_decoder_config(xfm_cfg: XFMConfig, num_dec_layers: int = 12,
+                        decoder_fusion_start_at: int = 0) -> TextConfig:
+    """Decoder config (reference models/model_generation.py:36-45):
+    cross-attends to the *fusion* output (encoder_width = text hidden)."""
+    return dataclasses.replace(
+        xfm_cfg.text,
+        num_hidden_layers=num_dec_layers,
+        fusion_layer=decoder_fusion_start_at,
+        encoder_width=xfm_cfg.text.hidden_size,
+        is_decoder=True,
+    )
+
+
+def shift_lm_loss(logits, labels, ignore_index=-100, label_smoothing=0.0):
+    """Causal shift + per-sample summed loss
+    (reference models/xroberta.py:1100-1114)."""
+    return per_sample_lm_loss(logits[:, :-1], labels[:, 1:], ignore_index,
+                              label_smoothing)
+
+
+class XFMForVQA(nn.Module):
+    """VQA as constrained generation (reference models/model_generation.py:23).
+
+    Train: weighted per-answer CE over the flat answer layout.
+    Eval: `rank_answer` over the fixed answer list.
+    """
+    config: XFMConfig
+    num_dec_layers: int = 12
+    decoder_fusion_start_at: int = 0
+    pad_token_id: int = 1
+
+    def setup(self):
+        self.backbone = XFMBase(self.config)
+        self.text_decoder = TextTransformer(
+            make_decoder_config(self.config, self.num_dec_layers,
+                                self.decoder_fusion_start_at), with_mlm=True)
+
+    def init_all(self, images, text_ids, text_atts):
+        _, _, cross = self.backbone.init_all(images, text_ids, text_atts)
+        h = self.text_decoder.init_all(text_ids, attention_mask=text_atts,
+                                       encoder_hidden_states=cross,
+                                       encoder_attention_mask=text_atts)
+        return h
+
+    def encode_question(self, images, q_ids, q_atts, deterministic=True):
+        """vision → text encoder → fusion (reference
+        models/model_generation.py:100-143 shared by train/eval)."""
+        bb = self.backbone
+        image_embeds = bb.get_vision_embeds(images,
+                                            deterministic=deterministic)
+        image_atts = jnp.ones(image_embeds.shape[:2], jnp.int32)
+        text_embeds = bb.get_text_embeds(q_ids, q_atts, deterministic)
+        question = bb.get_cross_embeds(image_embeds, image_atts,
+                                       text_embeds=text_embeds,
+                                       text_atts=q_atts, is_pretrain=False,
+                                       deterministic=deterministic)
+        return question
+
+    def decode_answers(self, answer_ids, answer_atts, question_states,
+                       question_atts, deterministic=True):
+        hidden = self.text_decoder(
+            answer_ids, attention_mask=answer_atts,
+            encoder_hidden_states=question_states,
+            encoder_attention_mask=question_atts,
+            deterministic=deterministic)
+        return self.text_decoder.mlm_logits(hidden, None)
+
+    def __call__(self, images, q_ids, q_atts, answer_ids=None,
+                 answer_atts=None, ques_idx=None, weights=None, train=True,
+                 deterministic=True, answer_list_ids=None,
+                 answer_list_atts=None, k: int = 128):
+        question = self.encode_question(images, q_ids, q_atts, deterministic)
+        if train:
+            # flat answers: gather each answer's question states
+            qs = jnp.take(question, ques_idx, axis=0)
+            qa = jnp.take(q_atts, ques_idx, axis=0)
+            logits = self.decode_answers(answer_ids, answer_atts, qs, qa,
+                                         deterministic)
+            labels = jnp.where(answer_ids == self.pad_token_id, -100,
+                               answer_ids)
+            per = shift_lm_loss(logits, labels)
+            return jnp.sum(weights * per) / images.shape[0]
+        question_atts = jnp.ones(question.shape[:2], jnp.int32)
+        return self.rank_answer(question, question_atts, answer_list_ids,
+                                answer_list_atts, k)
+
+    def rank_answer(self, question_states, question_atts, answer_ids,
+                    answer_atts, k: int):
+        """(reference models/model_generation.py:146-202). answer_ids:
+        [num_answers, L] starting with BOS. Returns (topk_ids, topk_probs)
+        of shape [num_ques, k]."""
+        num_ques = question_states.shape[0]
+        bos = answer_ids[0, 0]
+        start = jnp.full((num_ques, 1), bos, jnp.int32)
+        logits0 = self.decode_answers(start, None, question_states,
+                                      question_atts)[:, 0, :]
+        probs0 = jax.nn.softmax(logits0.astype(jnp.float32), axis=-1)
+        first_tok = answer_ids[:, 1]
+        prob_first = probs0[:, first_tok]              # [num_ques, num_ans]
+        topk_probs, topk_ids = jax.lax.top_k(prob_first, k)
+
+        # gather the k candidate answers per question → [num_ques*k, L]
+        cand_ids = jnp.take(answer_ids, topk_ids.reshape(-1), axis=0)
+        cand_atts = jnp.take(answer_atts, topk_ids.reshape(-1), axis=0)
+        qs = jnp.repeat(question_states, k, axis=0)
+        qa = jnp.repeat(question_atts, k, axis=0)
+        logits = self.decode_answers(cand_ids, cand_atts, qs, qa)
+        labels = jnp.where(cand_ids == self.pad_token_id, -100, cand_ids)
+        loss = shift_lm_loss(logits, labels)            # [num_ques*k]
+        log_probs_sum = (jnp.log(topk_probs.reshape(-1) + 1e-30)
+                         - loss).reshape(num_ques, k)
+        probs = jax.nn.softmax(log_probs_sum, axis=-1)
+        topk_probs2, rerank = jax.lax.top_k(probs, k)
+        topk_ids2 = jnp.take_along_axis(topk_ids, rerank, axis=1)
+        return topk_ids2, topk_probs2
+
+
+class XFMForCaptioning(nn.Module):
+    """COCO captioning (reference models/model_generation.py:256-385):
+    decoder initialized from fusion weights (checkpoint importer maps
+    `fusion_encoder.*` → `text_decoder.*`,
+    reference models/model_generation.py:83-86,275)."""
+    config: XFMConfig
+    num_dec_layers: int = 12
+    decoder_fusion_start_at: int = 0
+    pad_token_id: int = 1
+    prompt_length: int = 0  # tokens at the start excluded from the loss
+
+    def setup(self):
+        self.backbone = XFMBase(self.config)
+        dec_cfg = dataclasses.replace(
+            make_decoder_config(self.config, self.num_dec_layers,
+                                self.decoder_fusion_start_at),
+            encoder_width=self.config.vision_width)
+        self.text_decoder = TextTransformer(dec_cfg, with_mlm=True)
+
+    def init_all(self, images, text_ids, text_atts):
+        image_embeds = self.backbone.get_vision_embeds(images)
+        h = self.text_decoder.init_all(
+            text_ids, attention_mask=text_atts,
+            encoder_hidden_states=image_embeds,
+            encoder_attention_mask=jnp.ones(image_embeds.shape[:2],
+                                            jnp.int32))
+        return h
+
+    def __call__(self, images, text_ids, text_atts, train=True,
+                 deterministic=True):
+        image_embeds = self.backbone.get_vision_embeds(
+            images, deterministic=deterministic)
+        image_atts = jnp.ones(image_embeds.shape[:2], jnp.int32)
+        hidden = self.text_decoder(text_ids, attention_mask=text_atts,
+                                   encoder_hidden_states=image_embeds,
+                                   encoder_attention_mask=image_atts,
+                                   deterministic=deterministic)
+        logits = self.text_decoder.mlm_logits(hidden, None)
+        if not train:
+            return logits
+        labels = jnp.where(text_ids == self.pad_token_id, -100, text_ids)
+        if self.prompt_length:
+            # prompt-prefix loss masking (reference
+            # models/model_generation.py:299-318)
+            pos = jnp.arange(labels.shape[1])[None]
+            labels = jnp.where(pos < self.prompt_length, -100, labels)
+        per = shift_lm_loss(logits, labels)
+        return jnp.mean(per)
+
+    def decode_step(self, token, image_embeds, image_atts, past_length=0,
+                    deterministic=True):
+        """One KV-cached decode step; called under mutable=['cache'].
+        `past_length` keeps RoBERTa pad-offset positions correct across
+        steps."""
+        hidden = self.text_decoder(token, attention_mask=None,
+                                   encoder_hidden_states=image_embeds,
+                                   encoder_attention_mask=image_atts,
+                                   deterministic=deterministic, decode=True,
+                                   past_length=past_length)
+        return self.text_decoder.mlm_logits(hidden, None)[:, -1, :]
+
+    def encode_images(self, images, deterministic=True):
+        return self.backbone.get_vision_embeds(images,
+                                               deterministic=deterministic)
+
+
+def generate(model: XFMForCaptioning, variables, images, *, bos_id: int,
+             eos_id: int, pad_id: int, max_len: int = 20,
+             greedy: bool = True, temperature: float = 1.0,
+             rng: Optional[jax.Array] = None, num_return_sequences: int = 1):
+    """Jitted greedy/sampled decoding with the KV cache threaded through a
+    lax.scan (reference OSCAR-style loop, models/xbert.py:1393-1484).
+
+    Returns (sequences [B*n, max_len], per-token logprobs [B*n, max_len])
+    — logprobs feed SCST (reference Captioning_scst.py:41-96).
+    """
+    params = variables["params"]
+    image_embeds = model.apply({"params": params}, images,
+                               method=XFMForCaptioning.encode_images)
+    if num_return_sequences > 1:
+        image_embeds = jnp.repeat(image_embeds, num_return_sequences, axis=0)
+    B = image_embeds.shape[0]
+    image_atts = jnp.ones(image_embeds.shape[:2], jnp.int32)
+
+    if rng is None:
+        rng = jax.random.PRNGKey(0)
+
+    def select(logits, done, rng):
+        logp = jax.nn.log_softmax(logits.astype(jnp.float32) / temperature,
+                                  axis=-1)
+        if greedy:
+            nxt = jnp.argmax(logp, axis=-1)
+        else:
+            nxt = jax.random.categorical(rng, logp, axis=-1)
+        tok_logp = jnp.take_along_axis(logp, nxt[:, None], axis=-1)[:, 0]
+        nxt = jnp.where(done, pad_id, nxt)
+        tok_logp = jnp.where(done, 0.0, tok_logp)
+        done = done | (nxt == eos_id)
+        return nxt, tok_logp, done
+
+    # First step (BOS) also creates the cache collection.
+    bos = jnp.full((B, 1), bos_id, jnp.int32)
+    logits, cache_vars = model.apply(
+        {"params": params}, bos, image_embeds, image_atts, 0,
+        method=XFMForCaptioning.decode_step, mutable=["cache"])
+    rng, sub = jax.random.split(rng)
+    tok0, logp0, done0 = select(logits, jnp.zeros((B,), bool), sub)
+
+    def step(carry, i):
+        cache, tok, done, rng = carry
+        logits, new_vars = model.apply(
+            {"params": params, "cache": cache}, tok[:, None], image_embeds,
+            image_atts, i + 1, method=XFMForCaptioning.decode_step,
+            mutable=["cache"])
+        rng, sub = jax.random.split(rng)
+        nxt, tok_logp, done = select(logits, done, sub)
+        return (new_vars["cache"], nxt, done, rng), (nxt, tok_logp)
+
+    init = (cache_vars["cache"], tok0, done0, rng)
+    _, (toks, logps) = jax.lax.scan(step, init, jnp.arange(max_len - 1))
+    seqs = jnp.concatenate([tok0[:, None], jnp.transpose(toks)], axis=1)
+    lps = jnp.concatenate([logp0[:, None], jnp.transpose(logps)], axis=1)
+    return seqs, lps

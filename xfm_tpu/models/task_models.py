@@ -196,7 +196,10 @@ class XFMForNLVR(nn.Module):
         self.cls_head = MLPHead(2, dtype=self.config.dtype)
 
     def init_all(self, images, text_ids, text_atts):
-        _, _, cross = self.backbone.init_all(images, text_ids, text_atts)
+        # images arrive concat-batched [2B, ...]; init on the first half so
+        # batch dims line up inside the fusion pass.
+        n = text_ids.shape[0]
+        _, _, cross = self.backbone.init_all(images[:n], text_ids, text_atts)
         cls2 = jnp.concatenate([cross[:, 0, :], cross[:, 0, :]], axis=-1)
         return self.cls_head(cls2)
 

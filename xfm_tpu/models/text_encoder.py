@@ -63,6 +63,8 @@ class TextConfig:
     encoder_width: int = 768        # width of the cross-attended encoder states
     position_style: str = "roberta"  # 'roberta' pad-offset | 'bert' absolute
     is_decoder: bool = False
+    remat: bool = False             # activation checkpointing per layer
+                                    # (reference models/xbert.py:584-606)
     dtype: Any = jnp.float32        # compute dtype
 
     @classmethod
@@ -224,9 +226,14 @@ class TextTransformer(nn.Module):
     def setup(self):
         c = self.config
         self.embeddings = Embeddings(c)
+        layer_cls = TransformerLayer
+        if c.remat:
+            # recompute each layer in the backward pass: activation memory
+            # drops from O(L) to O(1) layers (trades ~1/3 more FLOPs)
+            layer_cls = nn.remat(TransformerLayer, static_argnums=(5, 6))
         self.layers = [
-            TransformerLayer(c, has_cross_attention=(i >= c.fusion_layer),
-                             name=f"layer_{i}")
+            layer_cls(c, has_cross_attention=(i >= c.fusion_layer),
+                      name=f"layer_{i}")
             for i in range(c.num_hidden_layers)
         ]
         if self.with_mlm:

