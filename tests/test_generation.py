@@ -4,7 +4,8 @@ import jax
 import jax.numpy as jnp
 
 from xfm_tpu.models import (TextConfig, VisionConfig, XFMConfig,
-                            XFMForCaptioning, XFMForVQA, generate)
+                            XFMForCaptioning, XFMForVQA, beam_generate,
+                            generate)
 
 
 def tiny_cfg(decoder_layers=2):
@@ -71,6 +72,28 @@ def test_caption_sampling_logprobs():
                            num_return_sequences=3)
     assert seqs.shape == (3, 6)
     assert np.all(np.asarray(logps) <= 0.0)
+
+
+def test_beam_search_beats_or_matches_greedy():
+    cfg = tiny_cfg()
+    model = XFMForCaptioning(cfg, num_dec_layers=2, pad_token_id=1)
+    B = 2
+    images = jax.random.normal(jax.random.PRNGKey(3), (B, 32, 32, 3))
+    ids = jnp.ones((B, 4), jnp.int32) * 3
+    variables = model.init(jax.random.PRNGKey(0), images, ids,
+                           jnp.ones_like(ids),
+                           method=XFMForCaptioning.init_all)
+    beams = beam_generate(model, variables, images, bos_id=1, eos_id=2,
+                          pad_id=1, max_len=5, num_beams=3)
+    assert beams.shape == (B, 5)
+    greedy, glp = generate(model, variables, images, bos_id=1, eos_id=2,
+                           pad_id=1, max_len=5, greedy=True)
+
+    # beam-1 must equal greedy
+    beam1 = beam_generate(model, variables, images, bos_id=1, eos_id=2,
+                          pad_id=1, max_len=5, num_beams=1,
+                          length_penalty=0.0)
+    np.testing.assert_array_equal(np.asarray(beam1), np.asarray(greedy))
 
 
 def test_vqa_train_and_rank():

@@ -1,0 +1,68 @@
+"""Multi-stream pretraining e2e smoke (reference Pretrain.py flow):
+image-text + text-only streams, a few jitted steps, checkpoint written."""
+import base64
+import io
+import json
+import os
+import types
+
+import numpy as np
+import pytest
+import yaml
+from PIL import Image
+
+
+@pytest.mark.slow
+def test_pretrain_two_streams(tmp_path):
+    rng = np.random.default_rng(0)
+    with open(tmp_path / "pairs.jsonl", "w") as f:
+        for i in range(16):
+            arr = rng.integers(0, 255, (40, 40, 3), dtype=np.uint8)
+            buf = io.BytesIO()
+            Image.fromarray(arr).save(buf, "PNG")
+            b64 = base64.b64encode(buf.getvalue()).decode()
+            f.write(json.dumps({"binary": b64,
+                                "desc": f"an image number {i}"}) + "\n")
+    with open(tmp_path / "texts.jsonl", "w") as f:
+        for i in range(32):
+            f.write(json.dumps({"desc": f"plain text line {i} with several "
+                                        f"words to mask"}) + "\n")
+
+    cfg = dict(
+        text_encoder="roberta-base", text_num_hidden_layers=2,
+        text_fusion_start_at=2, fusion_num_hidden_layers=2,
+        fusion_fusion_start_at=0, text_hidden_size=32,
+        text_num_attention_heads=2, text_intermediate_size=64,
+        image_res=32, patch_size=16, vision_embed_dim=32, vision_depth=1,
+        vision_num_heads=2, embed_dim=16,
+        train_file=[str(tmp_path / "pairs.jsonl")],
+        train_file_text=[str(tmp_path / "texts.jsonl")],
+        images={"image_key": "binary", "is_image_rpath": False,
+                "caption_key": "desc", "batch_size": 8},
+        texts={"text_key": "desc", "batch_size": 8, "max_words": 16,
+               "max_tokens": 16, "max_masks": 3, "mask_prob": 0.15,
+               "mask_whole_word": False},
+        max_words=10, max_tokens=12, mask_prob=0.5, max_masks=3,
+        num_masking_patches=2, min_num_patches=1,
+        train_dataset_size=16, max_steps=3, ckpt_frequent_step=3,
+        print_freq=1,
+        schedular={"sched": "linear", "lr": 1e-4, "epochs": 1,
+                   "num_warmup_steps": 1},
+        optimizer={"lr": 1e-4, "weight_decay": 0.01, "lr_mult": 2},
+        use_mm_mim_loss=True,
+    )
+    cfg_path = tmp_path / "pt.yaml"
+    yaml.safe_dump(cfg, open(cfg_path, "w"))
+
+    from xfm_tpu.tasks import pretrain
+
+    args = types.SimpleNamespace(config=str(cfg_path),
+                                 output_dir=str(tmp_path / "out"),
+                                 checkpoint=None, evaluate=False, bs=None,
+                                 epoch=None, seed=0)
+    stats = pretrain.main(args)
+    # both streams contributed losses
+    assert stats.get("image_loss_itc", 0) > 0
+    assert stats.get("text_loss_mlm", 0) > 0
+    assert os.path.isdir(tmp_path / "out" / "ckpt")
+    assert os.path.exists(tmp_path / "out" / "log.txt")

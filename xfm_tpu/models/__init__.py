@@ -19,5 +19,7 @@ from .task_models import (
     DeepMLPHead,
 )
 from .generation import (XFMForVQA, XFMForCaptioning, generate,
-                         make_decoder_config, shift_lm_loss)
+                         beam_generate, make_decoder_config, shift_lm_loss)
+from .vqkd import VQKD, VQKDConfig, NormEMAQuantizer
+from .swin import SwinTransformer, SwinConfig
 from . import losses

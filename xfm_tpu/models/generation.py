@@ -266,3 +266,78 @@ def generate(model: XFMForCaptioning, variables, images, *, bos_id: int,
     seqs = jnp.concatenate([tok0[:, None], jnp.transpose(toks)], axis=1)
     lps = jnp.concatenate([logp0[:, None], jnp.transpose(logps)], axis=1)
     return seqs, lps
+
+
+def beam_generate(model: XFMForCaptioning, variables, images, *, bos_id: int,
+                  eos_id: int, pad_id: int, max_len: int = 20,
+                  num_beams: int = 3, length_penalty: float = 1.0):
+    """Beam search with the KV cache reordered per step
+    (reference HF beam path, models/xbert.py:1368-1391 `_reorder_cache`).
+
+    Whole search is one jitted lax.scan; cache leaves are gathered along the
+    beam dimension each step. Returns best sequences [B, max_len]."""
+    params = variables["params"]
+    image_embeds = model.apply({"params": params}, images,
+                               method=XFMForCaptioning.encode_images)
+    B = image_embeds.shape[0]
+    K = num_beams
+    image_embeds = jnp.repeat(image_embeds, K, axis=0)   # [B*K, N, D]
+    image_atts = jnp.ones(image_embeds.shape[:2], jnp.int32)
+
+    bos = jnp.full((B * K, 1), bos_id, jnp.int32)
+    logits, cache_vars = model.apply(
+        {"params": params}, bos, image_embeds, image_atts, 0,
+        method=XFMForCaptioning.decode_step, mutable=["cache"])
+    logp = jax.nn.log_softmax(logits.astype(jnp.float32), -1)
+    logp = logp.reshape(B, K, -1)[:, 0, :]                # beams identical
+    V = logp.shape[-1]
+    scores0, tok0 = jax.lax.top_k(logp, K)                # [B, K]
+
+    def gather_beams(tree, beam_idx):
+        def one(x):
+            # skip non-batched leaves (e.g. the scalar cache index)
+            if jnp.ndim(x) == 0 or x.shape[0] != B * K:
+                return x
+            xb = x.reshape(B, K, *x.shape[1:])
+            idx = beam_idx.reshape(B, K, *([1] * (x.ndim - 1)))
+            return jnp.take_along_axis(xb, idx, axis=1).reshape(x.shape)
+
+        return jax.tree.map(one, tree)
+
+    def step(carry, i):
+        cache, scores, tok, done, seqs = carry
+        logits, new_vars = model.apply(
+            {"params": params, "cache": cache}, tok.reshape(B * K, 1),
+            image_embeds, image_atts, i + 1,
+            method=XFMForCaptioning.decode_step, mutable=["cache"])
+        logp = jax.nn.log_softmax(logits.astype(jnp.float32), -1)
+        logp = logp.reshape(B, K, V)
+        # finished beams: only pad continues, with 0 logp
+        pad_only = jnp.full((V,), -1e9).at[pad_id].set(0.0)
+        logp = jnp.where(done[..., None], pad_only[None, None], logp)
+        cand = scores[..., None] + logp                    # [B, K, V]
+        flat = cand.reshape(B, K * V)
+        new_scores, idx = jax.lax.top_k(flat, K)
+        beam_idx = idx // V
+        new_tok = (idx % V).astype(jnp.int32)
+        cache = gather_beams(new_vars["cache"], beam_idx)
+        seqs = gather_beams(seqs.reshape(B * K, -1),
+                            beam_idx).reshape(B, K, -1)
+        done = jnp.take_along_axis(done, beam_idx, axis=1)
+        done = done | (new_tok == eos_id)
+        seqs = jax.lax.dynamic_update_slice(
+            seqs, new_tok[..., None], (0, 0, i + 1))
+        return (cache, new_scores, new_tok, done, seqs), None
+
+    seqs0 = jnp.full((B, K, max_len), pad_id, jnp.int32)
+    seqs0 = seqs0.at[:, :, 0].set(tok0)
+    done0 = tok0 == eos_id
+    carry = (cache_vars["cache"], scores0, tok0, done0, seqs0)
+    (cache, scores, tok, done, seqs), _ = jax.lax.scan(
+        step, carry, jnp.arange(max_len - 1))
+
+    # length-penalized best beam
+    lengths = jnp.sum((seqs != pad_id).astype(jnp.float32), axis=-1)
+    adj = scores / jnp.maximum(lengths, 1.0) ** length_penalty
+    best = jnp.argmax(adj, axis=1)
+    return jnp.take_along_axis(seqs, best[:, None, None], axis=1)[:, 0]

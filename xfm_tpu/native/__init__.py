@@ -1,0 +1,113 @@
+"""Native (C++) host runtime: threaded image decode/transform loader.
+
+Compiled on demand with g++ (no pybind11 in the image — plain C ABI via
+ctypes). Falls back to PIL transparently when the toolchain or libjpeg/libpng
+are unavailable; `xfm_tpu.data` consumes it through `decode_batch`.
+"""
+from __future__ import annotations
+
+import ctypes
+import os
+import subprocess
+import threading
+
+import numpy as np
+
+_HERE = os.path.dirname(os.path.abspath(__file__))
+_SRC = os.path.join(_HERE, "loader.cpp")
+_SO = os.path.join(_HERE, "libxfmloader.so")
+_lock = threading.Lock()
+_lib = None
+_tried = False
+
+
+def _build() -> bool:
+    cmd = ["g++", "-O3", "-march=native", "-shared", "-fPIC", _SRC, "-o",
+           _SO, "-ljpeg", "-lpng", "-lpthread"]
+    try:
+        res = subprocess.run(cmd, capture_output=True, text=True,
+                             timeout=180)
+        return res.returncode == 0 and os.path.exists(_SO)
+    except Exception:
+        return False
+
+
+def get_lib():
+    """Load (building if needed) the native loader; None if unavailable."""
+    global _lib, _tried
+    with _lock:
+        if _lib is not None or _tried:
+            return _lib
+        _tried = True
+        if not os.path.exists(_SO) or (os.path.getmtime(_SO)
+                                       < os.path.getmtime(_SRC)):
+            if not _build():
+                return None
+        try:
+            lib = ctypes.CDLL(_SO)
+        except OSError:
+            return None
+        lib.xfm_decode_batch.restype = ctypes.c_int
+        lib.xfm_decode_batch.argtypes = [
+            ctypes.POINTER(ctypes.c_char_p), ctypes.POINTER(ctypes.c_long),
+            ctypes.POINTER(ctypes.c_int), ctypes.c_int,
+            ctypes.POINTER(ctypes.c_int), ctypes.POINTER(ctypes.c_uint8),
+            ctypes.c_int, ctypes.c_int,
+        ]
+        lib.xfm_image_dims.restype = ctypes.c_int
+        lib.xfm_image_dims.argtypes = [
+            ctypes.c_char_p, ctypes.c_long, ctypes.POINTER(ctypes.c_int),
+            ctypes.POINTER(ctypes.c_int),
+        ]
+        _lib = lib
+        return _lib
+
+
+def available() -> bool:
+    return get_lib() is not None
+
+
+def image_dims(data: bytes):
+    lib = get_lib()
+    if lib is None:
+        return None
+    w = ctypes.c_int()
+    h = ctypes.c_int()
+    if lib.xfm_image_dims(data, len(data), ctypes.byref(w),
+                          ctypes.byref(h)) != 0:
+        return None
+    return w.value, h.value
+
+
+def decode_batch(blobs: list[bytes], out_size: int,
+                 crops: np.ndarray | None = None,
+                 hflips: np.ndarray | None = None,
+                 threads: int | None = None) -> np.ndarray | None:
+    """Threaded decode+crop+resize. blobs: encoded JPEG/PNG bytes.
+    crops: [B,4] int32 (x,y,w,h; w<=0 = full frame). → uint8 [B,S,S,3],
+    or None when the native path is unavailable."""
+    lib = get_lib()
+    if lib is None:
+        return None
+    n = len(blobs)
+    if crops is None:
+        crops = np.zeros((n, 4), np.int32)
+    if hflips is None:
+        hflips = np.zeros((n,), np.int32)
+    crops = np.ascontiguousarray(crops, np.int32)
+    hflips = np.ascontiguousarray(hflips, np.int32)
+    out = np.empty((n, out_size, out_size, 3), np.uint8)
+    arr_t = ctypes.c_char_p * n
+    datas = arr_t(*blobs)
+    lens = (ctypes.c_long * n)(*[len(b) for b in blobs])
+    if threads is None:
+        threads = min(max(os.cpu_count() or 4, 1), 16)
+    lib.xfm_decode_batch(
+        ctypes.cast(datas, ctypes.POINTER(ctypes.c_char_p)),
+        ctypes.cast(lens, ctypes.POINTER(ctypes.c_long)),
+        crops.ctypes.data_as(ctypes.POINTER(ctypes.c_int)),
+        out_size,
+        hflips.ctypes.data_as(ctypes.POINTER(ctypes.c_int)),
+        out.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+        n, threads)
+    return out

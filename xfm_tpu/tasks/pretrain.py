@@ -135,6 +135,15 @@ def main(args, config: Optional[dict] = None):
                                               sd, mcfg)))
         state = state.replace(params=params)
 
+    if cfg.get("resume", False):
+        # preemption-safe resume: restores params/opt/step from the latest
+        # Orbax checkpoint (reference Pretrain.py:438-445 semantics)
+        from ..train.checkpoint import restore_checkpoint
+
+        state = restore_checkpoint(os.path.join(ctx.out_dir, "ckpt"), state)
+        if is_main_process():
+            print(f"### resumed at step {int(state.step)}", flush=True)
+
     def make_step(flags_by_stream):
         def loss_fn(params, batches, rng):
             total = 0.0
@@ -159,7 +168,10 @@ def main(args, config: Optional[dict] = None):
     max_steps = int(cfg.get("max_steps", epochs * steps_per_epoch))
     ckpt_step = cfg.get("ckpt_frequent_step", 50000)
 
-    iters = {name: iter(s) for name, s in streams.items()}
+    from ..data.prefetch import Prefetcher
+
+    iters = {name: iter(Prefetcher(s, depth=2))
+             for name, s in streams.items()}
     logger = MetricLogger()
     rng = jax.random.PRNGKey(ctx.seed)
     step_fn = None
