@@ -186,3 +186,29 @@ def test_rel_pos_bias_interpolation():
     # same window → identity
     same = interpolate_rel_pos_bias_table(table, src_window)
     np.testing.assert_allclose(same, table)
+
+
+def test_roundtrip_export_import():
+    """params → torch sd → params is the identity (export is the inverse
+    of import)."""
+    from xfm_tpu.train.checkpoint import export_xfm_checkpoint
+
+    cfg = tiny_cfg()
+    model = XFMForPretrain(cfg)
+    batch = dict(images=jnp.ones((2, 32, 32, 3)),
+                 text_ids=jnp.ones((2, 8), jnp.int32),
+                 text_atts=jnp.ones((2, 8), jnp.int32))
+    init = model.init({"params": jax.random.PRNGKey(3)}, batch["images"],
+                      batch["text_ids"], batch["text_atts"],
+                      method=XFMForPretrain.init_all)["params"]
+    sd = export_xfm_checkpoint(init, cfg)
+    back = import_xfm_checkpoint(sd, cfg)
+    merged, missing, unexpected = merge_params(init, to_jax(back))
+    assert not missing and not unexpected, (missing, unexpected)
+    import flax
+
+    f0 = flax.traverse_util.flatten_dict(init, sep="/")
+    f1 = flax.traverse_util.flatten_dict(merged, sep="/")
+    for k in f0:
+        np.testing.assert_allclose(np.asarray(f0[k]), np.asarray(f1[k]),
+                                   atol=1e-6, err_msg=k)

@@ -121,3 +121,42 @@ def test_transforms_output():
     assert out.shape == (32, 32, 3) and out.dtype == np.float32
     out = TestTransform(48)(img)
     assert out.shape == (48, 48, 3)
+
+
+def test_region_stream(tmp_path):
+    import base64
+    import io as _io
+
+    from PIL import Image
+
+    from xfm_tpu.data import RegionTextStream, SimpleTokenizer
+
+    rng = np.random.default_rng(0)
+    with open(tmp_path / "regions.jsonl", "w") as f:
+        for i in range(6):
+            arr = rng.integers(0, 255, (64, 64, 3), dtype=np.uint8)
+            buf = _io.BytesIO()
+            Image.fromarray(arr).save(buf, "PNG")
+            b64 = base64.b64encode(buf.getvalue()).decode()
+            elems = [{"bb": [8, 8, 24, 24], "caption": f"region a {i}"},
+                     {"bb": [32, 16, 16, 32], "caption": f"region b {i}",
+                      "attributes": "small"}]
+            f.write(json.dumps({"binary": b64, "elems": elems}) + "\n")
+    cfg = dict(image_res=32, patch_size=16, max_words=8, max_tokens=10,
+               max_masks=2, mask_prob=0.5, skipgram_prb=0.2,
+               skipgram_size=3, mask_whole_word=False,
+               regions={"image_key": "binary", "is_image_rpath": False,
+                        "caption_key": "caption", "batch_size": 6,
+                        "max_images": 3, "max_regions": 2,
+                        "min_perc_in_image": 0.3})
+    tok = SimpleTokenizer.from_texts(["region a b small 1 2 3 4 5"])
+    stream = RegionTextStream(str(tmp_path / "regions.jsonl"), cfg, tok)
+    batch = next(iter(stream))
+    assert batch["images"].shape == (3, 32, 32, 3)
+    assert batch["text_ids"].shape == (6, 10)
+    assert batch["idx_to_group_img"].shape == (6,)
+    assert batch["idx_to_group_img"].max() < 3
+    assert batch["image_atts"].shape == (6, 5)
+    assert (batch["image_atts"][:, 0] == 1).all()  # cls always attended
+    assert batch["target_bbox"].shape == (6, 4)
+    assert (batch["target_bbox"] >= 0).all() and (batch["target_bbox"] <= 1).all()

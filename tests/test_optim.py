@@ -1,0 +1,67 @@
+"""Optimizer tests: 4-group AdamW semantics, LARS, bf16 master weights."""
+import numpy as np
+import jax
+import jax.numpy as jnp
+import optax
+
+from xfm_tpu.train.optim import (boost_mask, create_optimizer, decay_mask,
+                                 lars, with_master_weights)
+
+
+def test_decay_and_boost_masks():
+    params = {"layer": {"kernel": jnp.ones((4, 4)), "bias": jnp.ones(4)},
+              "itm_head": {"fc1": {"kernel": jnp.ones((4, 8))}},
+              "temp": jnp.ones(())}
+    dm = decay_mask(params)
+    assert dm["layer"]["kernel"] and not dm["layer"]["bias"] and not dm["temp"]
+    bm = boost_mask(params)
+    assert bm["itm_head"]["fc1"]["kernel"] and bm["temp"]
+    assert not bm["layer"]["kernel"]
+
+
+def test_adamw_group_semantics():
+    """Boosted params move lr_mult× further on the first step (where adam's
+    normalized update is ±lr regardless of grad scale)."""
+    params = {"base": {"kernel": jnp.ones((2, 2))},
+              "itm_head": {"kernel": jnp.ones((2, 2))}}
+    tx = create_optimizer(params, learning_rate=1e-3, weight_decay=0.0,
+                          lr_mult=2.0, clip_grad_norm=None)
+    state = tx.init(params)
+    grads = jax.tree.map(lambda p: jnp.ones_like(p) * 0.5, params)
+    updates, _ = tx.update(grads, state, params)
+    base = float(jnp.abs(updates["base"]["kernel"]).mean())
+    boosted = float(jnp.abs(updates["itm_head"]["kernel"]).mean())
+    np.testing.assert_allclose(boosted / base, 2.0, rtol=1e-5)
+
+
+def test_master_weights_accumulates_small_updates():
+    """Updates below bf16 resolution must still accumulate via the fp32
+    master copy."""
+    params = {"w": jnp.ones((4,), jnp.bfloat16) * 256.0}
+    inner = optax.sgd(learning_rate=0.05)  # step of 0.05 ≪ bf16 ulp at 256
+    tx = with_master_weights(inner)
+    state = tx.init(params)
+    p = params
+    for _ in range(100):
+        g = {"w": jnp.ones((4,), jnp.bfloat16)}
+        upd, state = tx.update(g, state, p)
+        p = optax.apply_updates(p, upd)
+    # 100 × 0.05 = 5.0 total decrement; bf16 rounding of a *single* step
+    # would have frozen at 256 (ulp at 256 is 2.0)
+    np.testing.assert_allclose(np.asarray(p["w"], np.float32), 251.0,
+                               atol=1.5)
+    np.testing.assert_allclose(np.asarray(state["master"]["w"]), 251.0,
+                               atol=1e-2)
+    assert p["w"].dtype == jnp.bfloat16
+
+
+def test_lars_skips_1d():
+    params = {"w": jnp.ones((4, 4)), "b": jnp.ones((4,))}
+    tx = lars(learning_rate=0.1, weight_decay=0.1, momentum=0.0)
+    state = tx.init(params)
+    grads = jax.tree.map(jnp.ones_like, params)
+    upd, _ = tx.update(grads, state, params)
+    # bias: plain SGD, no trust scaling/decay → -lr * grad
+    np.testing.assert_allclose(np.asarray(upd["b"]), -0.1, rtol=1e-6)
+    # kernel: trust-scaled
+    assert not np.allclose(np.asarray(upd["w"]), -0.1)

@@ -5,6 +5,8 @@ from .jsonl import ShardedLineReader, split_shard
 from .transforms import (TrainTransform, TestTransform, build_transforms,
                          decode_image, normalize, CLIP_MEAN, CLIP_STD)
 from .pretrain_data import (ImageTextStream, TextStream, ImageStream,
-                            TextPreprocessor, pre_caption, PAD_MASK_LABEL)
+                            RegionTextStream, TextPreprocessor, pre_caption,
+                            PAD_MASK_LABEL)
+from .prefetch import Prefetcher
 from .randaugment import RandomAugment
 from . import io

@@ -69,7 +69,8 @@ class ShardedLineReader:
     def iter_json(self) -> Iterator[dict]:
         for line in self:
             try:
-                yield json.loads(line)
+                item = json.loads(line)
             except json.JSONDecodeError:
                 continue  # broken line: skip-and-continue
                 # (reference dataset/pretrain_dataset.py:258-262 semantics)
+            yield item

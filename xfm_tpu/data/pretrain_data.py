@@ -24,7 +24,7 @@ import numpy as np
 from .block_masking import BlockMaskingGenerator
 from .jsonl import ShardedLineReader
 from .text_masking import TextMaskingGenerator
-from .transforms import decode_image
+from .transforms import decode_image, normalize
 
 PAD_MASK_LABEL = -100
 
@@ -179,6 +179,188 @@ def _maybe_b64(v, rng):
             raise ValueError("empty image list")
         v = v[rng.integers(0, len(v))]
     return v
+
+
+class RegionTextStream:
+    """Region-text stream (reference RegionTextJsonDataset:409-642).
+
+    Per json record {image, elems: [{bb, caption[, attributes]}]}:
+    random crop containing one sampled bbox (reference :460-468), careful
+    hflip when any caption mentions left/right (reference :425-443,471-477),
+    per-region patch attention masks (reference get_image_attns:577-592),
+    normalized cxcywh targets (reference :555-560). Regions flatten across
+    `max_images` images into a fixed-size batch with idx_to_group_img;
+    under-full batches pad by resampling (reference collate_fn:594-642 —
+    fixed shapes are what keeps the SPMD step from recompiling).
+    """
+
+    def __init__(self, files, config: dict, tokenizer, rank=0, world_size=1,
+                 config_key="regions", seed=0):
+        sub = config.get(config_key, {}) or {}
+        self.reader = ShardedLineReader(files, rank, world_size, seed=seed)
+        self.image_key = sub.get("image_key", "binary")
+        self.is_image_rpath = sub.get("is_image_rpath", False)
+        self.batch_size = sub.get("batch_size", 32)
+        self.max_images = sub.get("max_images", 16)
+        self.max_regions = sub.get("max_regions", 5)
+        self.min_perc = sub.get("min_perc_in_image", 0.5)
+        self.careful_hflip = sub.get("careful_hflip", True)
+        self.image_res = config.get("image_res", 224)
+        self.patch_size = config.get("patch_size", 16)
+        self.num_patch = self.image_res // self.patch_size
+        self.rng = np.random.default_rng(seed + rank + 3)
+        self.print_broken = config.get("print_broken_data", False)
+        self.prep = TextPreprocessor(
+            tokenizer,
+            max_words=config.get("max_words", 30),
+            max_tokens=config.get("max_tokens", 30),
+            max_masks=config.get("max_masks", 15),
+            mask_prob=config.get("mask_prob", 0.5),
+            skipgram_prb=config.get("skipgram_prb", 0.2),
+            skipgram_size=config.get("skipgram_size", 3),
+            mask_whole_word=config.get("mask_whole_word", False),
+            rng=self.rng)
+
+    # --- helpers ---------------------------------------------------------
+
+    def _image_attns(self, x, y, w, h):
+        """Region → patch-level attention mask incl. cls
+        (reference :577-592)."""
+        import math
+
+        P, G = self.patch_size, self.num_patch
+        x_min = min(math.floor(x / P), G - 1)
+        x_max = max(x_min + 1, min(math.ceil((x + w) / P), G))
+        y_min = min(math.floor(y / P), G - 1)
+        y_max = max(y_min + 1, min(math.ceil((y + h) / P), G))
+        atts = np.zeros(1 + G * G, np.int32)
+        atts[0] = 1
+        for j in range(x_min, x_max):
+            for i in range(y_min, y_max):
+                atts[G * i + j + 1] = 1
+        return atts
+
+    def _mentions_side(self, ann):
+        def in_it(elem):
+            caps = elem.get("caption", [])
+            caps = caps if isinstance(caps, list) else [caps]
+            return any(("left" in c) or ("right" in c) for c in caps
+                       if isinstance(c, str))
+
+        if "caption" in ann and in_it(ann):
+            return True
+        return any(in_it(e) for e in ann.get("elems", []))
+
+    def _one_image(self, ann):
+        """→ (image array, list of region dicts) or raises."""
+        from PIL import Image
+
+        img = decode_image(ann[self.image_key] if self.is_image_rpath
+                           else ann[self.image_key])
+        W, H = img.size
+        elems = ann["elems"]
+        x, y, w, h = [int(v) for v in
+                      elems[self.rng.integers(0, len(elems))]["bb"]]
+        assert 0 <= x and 0 <= y and x + w <= W and y + h <= H \
+            and w > 0 and h > 0, "elem invalid"
+        x0 = int(self.rng.integers(0, x, endpoint=True))
+        y0 = int(self.rng.integers(0, y, endpoint=True))
+        x1 = int(self.rng.integers(min(x + w, W), W, endpoint=True))
+        y1 = int(self.rng.integers(min(y + h, H), H, endpoint=True))
+        img = img.crop((x0, y0, x1, y1))
+        W, H = img.size
+
+        do_hflip = False
+        if self.rng.random() < 0.5 and not (
+                self.careful_hflip and self._mentions_side(ann)):
+            img = img.transpose(Image.FLIP_LEFT_RIGHT)
+            do_hflip = True
+        img = img.resize((self.image_res, self.image_res), Image.BICUBIC)
+        image = normalize(np.asarray(img, np.uint8))
+
+        regions = []
+        budget = self.max_regions
+        for elem in elems:
+            if budget <= 0:
+                break
+            ex, ey, ew, eh = [int(v) for v in elem["bb"]]
+            # clip to the crop; keep only regions ≥ min_perc inside
+            nx, ny = max(ex - x0, 0), max(ey - y0, 0)
+            nx2 = min(ex + ew - x0, W)
+            ny2 = min(ey + eh - y0, H)
+            if nx2 <= nx or ny2 <= ny:
+                continue
+            if (nx2 - nx) * (ny2 - ny) < self.min_perc * ew * eh:
+                continue
+            rx, rw = float(nx), float(nx2 - nx)
+            ry, rh = float(ny), float(ny2 - ny)
+            if do_hflip:
+                rx = (W - rx) - rw
+            s = self.image_res
+            rx, rw = s / W * rx, s / W * rw
+            ry, rh = s / H * ry, s / H * rh
+
+            caption = _get_caption(elem["caption"], self.rng)
+            if "attributes" in elem:
+                caption = _get_caption(elem["attributes"], self.rng) \
+                    + " " + caption
+            try:
+                enc = self.prep.encode_masked(caption)
+            except Exception:
+                continue
+            regions.append(dict(
+                enc=enc,
+                image_atts=self._image_attns(rx, ry, rw, rh),
+                target_bbox=np.asarray(
+                    [(rx + rw / 2) / s, (ry + rh / 2) / s, rw / s, rh / s],
+                    np.float32),
+            ))
+            budget -= 1
+        if not regions:
+            raise ValueError("no usable regions")
+        return image, regions
+
+    def __iter__(self) -> Iterator[dict]:
+        images, flat, group = [], [], []
+        for ann in self.reader.iter_json():
+            try:
+                image, regions = self._one_image(ann)
+            except Exception as e:
+                if self.print_broken:
+                    print(f"broken region sample: {e}", flush=True)
+                continue
+            gi = len(images)
+            images.append(image)
+            for r in regions:
+                flat.append(r)
+                group.append(gi)
+            if len(images) < self.max_images and len(flat) < self.batch_size:
+                continue
+
+            n = len(flat)
+            if n >= self.batch_size:
+                keep = self.rng.choice(n, self.batch_size, replace=False)
+            else:  # pad by resampling (reference :609-625)
+                keep = np.concatenate([
+                    np.arange(n),
+                    self.rng.choice(n, self.batch_size - n, replace=True)])
+            ids, atts, idsm, mpos, mids = (np.stack(x) for x in zip(
+                *[flat[i]["enc"] for i in keep]))
+            # pad the image stack to max_images for static shapes
+            while len(images) < self.max_images:
+                images.append(np.zeros_like(images[0]))
+            yield dict(
+                images=np.stack(images),
+                idx_to_group_img=np.asarray([group[i] for i in keep],
+                                            np.int32),
+                text_ids=ids, text_atts=atts, text_ids_masked=idsm,
+                masked_pos=mpos, masked_ids=mids,
+                image_atts=np.stack([flat[i]["image_atts"] for i in keep]),
+                target_bbox=np.stack([flat[i]["target_bbox"]
+                                      for i in keep]),
+                is_image=np.zeros(self.batch_size, np.float32),
+            )
+            images, flat, group = [], [], []
 
 
 class TextStream:

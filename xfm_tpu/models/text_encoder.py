@@ -135,7 +135,7 @@ class SelfAttention(nn.Module):
 
     @nn.compact
     def __call__(self, hidden, kv_source, attention_bias, deterministic=True,
-                 decode=False):
+                 decode=False, prob_gate=None):
         c = self.config
         H = c.num_attention_heads
         D = c.hidden_size // H
@@ -180,7 +180,8 @@ class SelfAttention(nn.Module):
         ctx = dot_product_attention(
             q, k, v, bias=attention_bias,
             dropout_rate=c.attention_probs_dropout_prob,
-            dropout_rng=drop_rng, deterministic=deterministic)
+            dropout_rng=drop_rng, deterministic=deterministic,
+            prob_gate=prob_gate)
         ctx = ctx.reshape(B, Nq, c.hidden_size)
 
         out = nn.Dense(c.hidden_size, name="attn_out", dtype=c.dtype)(ctx)
@@ -196,14 +197,15 @@ class TransformerLayer(nn.Module):
 
     @nn.compact
     def __call__(self, hidden, attention_bias=None, encoder_hidden_states=None,
-                 encoder_attention_bias=None, deterministic=True, decode=False):
+                 encoder_attention_bias=None, deterministic=True, decode=False,
+                 cross_prob_gate=None):
         c = self.config
         x = SelfAttention(c, causal=c.is_decoder, name="attention")(
             hidden, hidden, attention_bias, deterministic, decode)
         if self.has_cross_attention and encoder_hidden_states is not None:
             x = SelfAttention(c, is_cross=True, name="crossattention")(
                 x, encoder_hidden_states, encoder_attention_bias,
-                deterministic)
+                deterministic, prob_gate=cross_prob_gate)
         h = nn.Dense(c.intermediate_size, name="intermediate_dense",
                      dtype=c.dtype)(x)
         h = ACT[c.hidden_act](h)
@@ -261,7 +263,7 @@ class TextTransformer(nn.Module):
                  token_type_ids=None, position_ids=None, inputs_embeds=None,
                  encoder_hidden_states=None, encoder_attention_mask=None,
                  mode="multi_modal", deterministic=True, decode=False,
-                 past_length=0):
+                 past_length=0, cross_gate=None, cross_gate_layer=None):
         c = self.config
         if inputs_embeds is not None:
             # encoder_embeds path: bypass embeddings entirely
@@ -288,9 +290,15 @@ class TextTransformer(nn.Module):
         else:
             lo, hi = 0, c.num_hidden_layers
 
-        for layer in self.layers[lo:hi]:
-            x = layer(x, bias, encoder_hidden_states, ebias, deterministic,
-                      decode)
+        for i, layer in enumerate(self.layers[lo:hi], start=lo):
+            gate = cross_gate if (cross_gate is not None
+                                  and i == cross_gate_layer) else None
+            if gate is not None:
+                x = layer(x, bias, encoder_hidden_states, ebias,
+                          deterministic, decode, cross_prob_gate=gate)
+            else:
+                x = layer(x, bias, encoder_hidden_states, ebias,
+                          deterministic, decode)
         return x
 
 

@@ -65,14 +65,35 @@ def dot_product_attention(
     dropout_rng: Optional[jax.Array] = None,
     deterministic: bool = True,
     use_flash: Optional[bool] = None,
+    prob_gate: Optional[jax.Array] = None,
 ) -> jax.Array:
-    """Scaled dot-product attention over [B, N, H, D] tensors."""
+    """Scaled dot-product attention over [B, N, H, D] tensors.
+
+    `prob_gate` ([B|1, H|1, Nq, Nk], usually ones) multiplies the post-softmax
+    probabilities; its gradient is attn ⊙ ∂score/∂attn — the GradCAM signal
+    of the reference's save_attention hooks (reference models/xbert.py:247-259,
+    Grounding.py:76-126)."""
     if scale is None:
         scale = q.shape[-1] ** -0.5
     if mask is not None:
         mbias = mask_to_bias(mask)
         bias = mbias if bias is None else bias + mbias
 
+    if prob_gate is not None:
+        qf = (q.astype(jnp.float32) * scale).astype(q.dtype)
+        logits = jnp.einsum("bqhd,bkhd->bhqk", qf, k,
+                            preferred_element_type=jnp.float32)
+        if bias is not None:
+            logits = logits + bias.astype(jnp.float32)
+        probs = jax.nn.softmax(logits, axis=-1) * prob_gate
+        out = jnp.einsum("bhqk,bkhd->bqhd", probs.astype(q.dtype), v,
+                         preferred_element_type=jnp.float32)
+        return out.astype(q.dtype)
+
+    impl = os.environ.get("XFM_ATTN_IMPL", "auto")
+    if impl == "jaxflash" and _on_tpu() and (
+            deterministic or dropout_rate == 0.0):
+        return _jax_flash(q, k, v, bias, scale)
     if use_flash is None:
         use_flash = _flash_ok(q, k, dropout_rate, deterministic)
     if use_flash:
@@ -110,6 +131,34 @@ def _on_tpu() -> bool:
 
 
 import os
+
+
+def _jax_flash(q, k, v, bias, scale):
+    """jax.experimental.pallas TPU flash-attention backend (A/B option):
+    [B,N,H,D] → [B,H,N,D], seqs padded to 128 multiples, bias materialized
+    to [B,H,Nq,Nk]."""
+    from jax.experimental.pallas.ops.tpu.flash_attention import (
+        flash_attention as jfa)
+
+    B, Nq, H, D = q.shape
+    Nk = k.shape[1]
+    pq = (-Nq) % 128
+    pk = (-Nk) % 128
+
+    def to_bhnd(x, pad):
+        x = jnp.swapaxes(x, 1, 2)
+        return jnp.pad(x, ((0, 0), (0, 0), (0, pad), (0, 0)))
+
+    qt, kt, vt = to_bhnd(q, pq), to_bhnd(k, pk), to_bhnd(v, pk)
+    ab = None
+    if bias is not None or pk:
+        if bias is None:
+            bias = jnp.zeros((1, 1, 1, Nk), jnp.float32)
+        ab = jnp.broadcast_to(bias.astype(jnp.float32), (B, H, Nq, Nk))
+        ab = jnp.pad(ab, ((0, 0), (0, 0), (0, pq), (0, pk)),
+                     constant_values=NEG_INF)
+    out = jfa(qt, kt, vt, ab=ab, sm_scale=scale)
+    return jnp.swapaxes(out[:, :, :Nq, :], 1, 2).astype(q.dtype)
 
 
 def _flash_ok(q, k, dropout_rate, deterministic) -> bool:

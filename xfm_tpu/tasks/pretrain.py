@@ -61,13 +61,11 @@ def build_streams(cfg, tokenizer, rank=0, world_size=1):
     if cfg.get("train_file_imagenet"):
         streams["imagenet"] = ImageStream(cfg["train_file_imagenet"], cfg,
                                           transform, rank, world_size)
-    # region stream: round-1 uses the plain image-text path for region files
-    # (bbox losses exercised via grounding tasks); full region batching with
-    # idx_to_group_img lands with RegionTextStream.
     if cfg.get("train_file_regions"):
-        streams["region"] = ImageTextStream(cfg["train_file_regions"], cfg,
-                                            tokenizer, transform, rank,
-                                            world_size)
+        from ..data.pretrain_data import RegionTextStream
+
+        streams["region"] = RegionTextStream(cfg["train_file_regions"], cfg,
+                                             tokenizer, rank, world_size)
     return streams
 
 
@@ -93,6 +91,9 @@ def stream_flags(name: str, step: int, cfg) -> dict:
                 data_source=name)
     if name == "aux":
         base.update(ret_itc=False, ret_match=False, ret_mim=False)
+    if name == "region":
+        base.update(ret_mim=False,
+                    ret_bbox=cfg.get("ret_bbox_loss", True))
     return base
 
 

@@ -330,6 +330,148 @@ def merge_params(init_params, imported):
 
 
 # ---------------------------------------------------------------------------
+# reverse export: Flax param tree → reference-style torch state dict
+
+def _t(x):
+    return np.asarray(x, np.float32)
+
+
+def export_text_encoder(p: Dict[str, Any], prefix: str,
+                        num_layers: int) -> Dict[str, np.ndarray]:
+    sd: Dict[str, np.ndarray] = {}
+    r = f"{prefix}.roberta"
+    emb = p["embeddings"]
+    sd[f"{r}.embeddings.word_embeddings.weight"] = _t(
+        emb["word_embeddings"]["embedding"])
+    sd[f"{r}.embeddings.position_embeddings.weight"] = _t(
+        emb["position_embeddings"]["embedding"])
+    sd[f"{r}.embeddings.token_type_embeddings.weight"] = _t(
+        emb["token_type_embeddings"]["embedding"])
+    sd[f"{r}.embeddings.LayerNorm.weight"] = _t(emb["LayerNorm"]["scale"])
+    sd[f"{r}.embeddings.LayerNorm.bias"] = _t(emb["LayerNorm"]["bias"])
+
+    def dense(dst, sub):
+        sd[f"{dst}.weight"] = _t(sub["kernel"]).T
+        sd[f"{dst}.bias"] = _t(sub["bias"])
+
+    def ln(dst, sub):
+        sd[f"{dst}.weight"] = _t(sub["scale"])
+        sd[f"{dst}.bias"] = _t(sub["bias"])
+
+    for i in range(num_layers):
+        lp = p[f"layer_{i}"]
+        b = f"{r}.encoder.layer.{i}"
+        for qkv in ("query", "key", "value"):
+            dense(f"{b}.attention.self.{qkv}", lp["attention"][qkv])
+        dense(f"{b}.attention.output.dense", lp["attention"]["attn_out"])
+        ln(f"{b}.attention.output.LayerNorm",
+           lp["attention"]["output_LayerNorm"])
+        if "crossattention" in lp:
+            for qkv in ("query", "key", "value"):
+                dense(f"{b}.crossattention.self.{qkv}",
+                      lp["crossattention"][qkv])
+            dense(f"{b}.crossattention.output.dense",
+                  lp["crossattention"]["attn_out"])
+            ln(f"{b}.crossattention.output.LayerNorm",
+               lp["crossattention"]["output_LayerNorm"])
+        dense(f"{b}.intermediate.dense", lp["intermediate_dense"])
+        dense(f"{b}.output.dense", lp["output_dense"])
+        ln(f"{b}.output.LayerNorm", lp["ffn_LayerNorm"])
+    if "mlm_head" in p:
+        dense(f"{prefix}.lm_head.dense", p["mlm_head"]["dense"])
+        ln(f"{prefix}.lm_head.layer_norm", p["mlm_head"]["layer_norm"])
+        sd[f"{prefix}.lm_head.bias"] = _t(p["mlm_head"]["bias"])
+        # tied decoder weight (HF convention)
+        sd[f"{prefix}.lm_head.decoder.weight"] = sd[
+            f"{r}.embeddings.word_embeddings.weight"]
+        sd[f"{prefix}.lm_head.decoder.bias"] = _t(p["mlm_head"]["bias"])
+    return sd
+
+
+def export_beit2(p: Dict[str, Any], depth: int) -> Dict[str, np.ndarray]:
+    sd: Dict[str, np.ndarray] = {}
+    kernel = _t(p["patch_embed_kernel"])   # [P*P*C, D]
+    ppc, D = kernel.shape
+    P = int(round((ppc // 3) ** 0.5))
+    w = kernel.reshape(P, P, 3, D).transpose(3, 2, 0, 1)  # OIHW
+    sd["vision_encoder.patch_embed.proj.weight"] = w
+    sd["vision_encoder.patch_embed.proj.bias"] = _t(p["patch_embed_bias"])
+    sd["vision_encoder.cls_token"] = _t(p["cls_token"])
+    sd["vision_encoder.mask_token"] = _t(p["mask_token"])
+    for i in range(depth):
+        bp = p[f"block_{i}"]
+        b = f"vision_encoder.blocks.{i}"
+        for nm in ("norm1", "norm2"):
+            sd[f"{b}.{nm}.weight"] = _t(bp[nm]["scale"])
+            sd[f"{b}.{nm}.bias"] = _t(bp[nm]["bias"])
+        sd[f"{b}.gamma_1"] = _t(bp["gamma_1"])
+        sd[f"{b}.gamma_2"] = _t(bp["gamma_2"])
+        sd[f"{b}.attn.qkv.weight"] = _t(bp["attn"]["qkv"]["kernel"]).T
+        sd[f"{b}.attn.q_bias"] = _t(bp["attn"]["q_bias"])
+        sd[f"{b}.attn.v_bias"] = _t(bp["attn"]["v_bias"])
+        sd[f"{b}.attn.proj.weight"] = _t(bp["attn"]["proj"]["kernel"]).T
+        sd[f"{b}.attn.proj.bias"] = _t(bp["attn"]["proj"]["bias"])
+        sd[f"{b}.attn.relative_position_bias_table"] = _t(
+            bp["attn"]["relative_position_bias_table"])
+        sd[f"{b}.mlp.fc1.weight"] = _t(bp["fc1"]["kernel"]).T
+        sd[f"{b}.mlp.fc1.bias"] = _t(bp["fc1"]["bias"])
+        sd[f"{b}.mlp.fc2.weight"] = _t(bp["fc2"]["kernel"]).T
+        sd[f"{b}.mlp.fc2.bias"] = _t(bp["fc2"]["bias"])
+    if "fc_norm" in p:
+        sd["vision_encoder.fc_norm.weight"] = _t(p["fc_norm"]["scale"])
+        sd["vision_encoder.fc_norm.bias"] = _t(p["fc_norm"]["bias"])
+    return sd
+
+
+def export_mlp_head(p: Dict[str, Any], prefix: str) -> Dict[str, np.ndarray]:
+    return {
+        f"{prefix}.0.weight": _t(p["fc1"]["kernel"]).T,
+        f"{prefix}.0.bias": _t(p["fc1"]["bias"]),
+        f"{prefix}.1.weight": _t(p["ln"]["scale"]),
+        f"{prefix}.1.bias": _t(p["ln"]["bias"]),
+        f"{prefix}.3.weight": _t(p["fc2"]["kernel"]).T,
+        f"{prefix}.3.bias": _t(p["fc2"]["bias"]),
+    }
+
+
+def export_xfm_checkpoint(params: Dict[str, Any],
+                          xfm_config) -> Dict[str, np.ndarray]:
+    """Inverse of import_xfm_checkpoint: our param tree → reference-style
+    torch state dict (numpy values; `save_torch_checkpoint` writes .th)."""
+    bb = params["backbone"] if "backbone" in params else params
+    sd: Dict[str, np.ndarray] = {}
+    if "vision_encoder" in bb:
+        sd.update(export_beit2(bb["vision_encoder"],
+                               xfm_config.vision.depth))
+    if "text_encoder" in bb:
+        sd.update(export_text_encoder(bb["text_encoder"], "text_encoder",
+                                      xfm_config.text.num_hidden_layers))
+    if "fusion_encoder" in bb:
+        sd.update(export_text_encoder(bb["fusion_encoder"],
+                                      "fusion_encoder",
+                                      xfm_config.fusion.num_hidden_layers))
+    for name in ("vision_proj", "text_proj", "fusion_proj"):
+        if name in bb:
+            sd[f"{name}.weight"] = _t(bb[name]["kernel"]).T
+            sd[f"{name}.bias"] = _t(bb[name]["bias"])
+    if "temp" in bb:
+        sd["temp"] = _t(bb["temp"]).reshape(())
+    for head in ("itm_head", "bbox_head"):
+        if head in bb:
+            sd.update(export_mlp_head(bb[head], head))
+    if "cls_head" in params:
+        sd.update(export_mlp_head(params["cls_head"], "cls_head"))
+    return sd
+
+
+def save_torch_checkpoint(path: str, sd: Dict[str, np.ndarray]) -> None:
+    import torch
+
+    torch.save({k: torch.from_numpy(np.ascontiguousarray(v))
+                for k, v in sd.items()}, path)
+
+
+# ---------------------------------------------------------------------------
 # Orbax native checkpoints (reference utils/checkpointer.py equivalent)
 
 def save_checkpoint(ckpt_dir: str, state, step: int | None = None,
