@@ -160,3 +160,27 @@ def test_region_stream(tmp_path):
     assert (batch["image_atts"][:, 0] == 1).all()  # cls always attended
     assert batch["target_bbox"].shape == (6, 4)
     assert (batch["target_bbox"] >= 0).all() and (batch["target_bbox"] <= 1).all()
+
+
+def test_device_augment_batch():
+    import jax
+    import jax.numpy as jnp
+
+    from xfm_tpu.data.device_aug import augment_batch
+
+    rng = jax.random.PRNGKey(0)
+    imgs = jnp.asarray(
+        np.random.default_rng(0).integers(0, 255, (4, 48, 64, 3)),
+        jnp.uint8)
+    out = augment_batch(rng, imgs, out_size=32, train=True)
+    assert out.shape == (4, 32, 32, 3)
+    assert np.isfinite(np.asarray(out)).all()
+    # deterministic given the same key; different across keys
+    out2 = augment_batch(rng, imgs, out_size=32, train=True)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(out2))
+    out3 = augment_batch(jax.random.PRNGKey(1), imgs, out_size=32,
+                         train=True)
+    assert np.abs(np.asarray(out) - np.asarray(out3)).max() > 1e-3
+    # eval path: plain resize
+    ev = augment_batch(rng, imgs, out_size=32, train=False)
+    assert ev.shape == (4, 32, 32, 3)

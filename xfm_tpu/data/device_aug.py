@@ -1,0 +1,63 @@
+"""On-device (XLA) image preprocessing.
+
+The reference does all augmentation in PIL inside DataLoader workers
+(reference dataset/__init__.py:28-68); the BASELINE north star asks for
+decode+augment+patchify fused on-device. Split of labor here:
+host (C++ loader) decodes to uint8, the TPU does random-resized-crop +
+hflip + CLIP normalization inside the jitted input step — per-sample
+randomness from the jax PRNG, fully fused by XLA into the first conv/matmul.
+"""
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+
+from .transforms import CLIP_MEAN, CLIP_STD
+
+
+def _one_crop(rng, img, out_size, scale, ratio):
+    """Random-resized-crop via scale_and_translate (bilinear), traced crop
+    params — shapes stay static."""
+    H, W = img.shape[0], img.shape[1]
+    r_area, r_ratio, r_x, r_y, r_flip = jax.random.split(rng, 5)
+    area = H * W * jax.random.uniform(r_area, (), minval=scale[0],
+                                      maxval=scale[1])
+    log_r = jax.random.uniform(r_ratio, (), minval=jnp.log(ratio[0]),
+                               maxval=jnp.log(ratio[1]))
+    ar = jnp.exp(log_r)
+    cw = jnp.clip(jnp.sqrt(area * ar), 8.0, W)
+    ch = jnp.clip(jnp.sqrt(area / ar), 8.0, H)
+    x0 = jax.random.uniform(r_x, (), minval=0.0, maxval=1.0) * (W - cw)
+    y0 = jax.random.uniform(r_y, (), minval=0.0, maxval=1.0) * (H - ch)
+
+    # map crop box [y0, y0+ch) × [x0, x0+cw) to the out_size grid
+    sy = out_size / ch
+    sx = out_size / cw
+    out = jax.image.scale_and_translate(
+        img.astype(jnp.float32), (out_size, out_size, 3), (0, 1),
+        jnp.stack([sy, sx]), jnp.stack([-y0 * sy, -x0 * sx]),
+        method="bilinear", antialias=True)
+    flip = jax.random.bernoulli(r_flip)
+    out = jnp.where(flip, out[:, ::-1, :], out)
+    return out
+
+
+@partial(jax.jit, static_argnames=("out_size", "scale", "ratio", "train"))
+def augment_batch(rng, images_u8, out_size: int = 224,
+                  scale: tuple = (0.5, 1.0), ratio: tuple = (0.75, 4 / 3),
+                  train: bool = True):
+    """uint8 [B, H, W, 3] → CLIP-normalized float32 [B, out, out, 3]."""
+    imgs = images_u8.astype(jnp.float32) / 255.0
+    if train:
+        rngs = jax.random.split(rng, imgs.shape[0])
+        out = jax.vmap(lambda r, im: _one_crop(r, im, out_size, scale,
+                                               ratio))(rngs, imgs)
+    else:
+        B, H, W, _ = imgs.shape
+        out = jax.image.resize(imgs, (B, out_size, out_size, 3),
+                               method="bilinear")
+    mean = jnp.asarray(CLIP_MEAN)
+    std = jnp.asarray(CLIP_STD)
+    return (out - mean) / std

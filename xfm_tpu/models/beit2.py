@@ -57,6 +57,7 @@ class VisionConfig:
     drop_path_rate: float = 0.1
     layer_norm_eps: float = 1e-6
     remat: bool = False
+    remat_policy: str = "full"
     dtype: Any = jnp.float32
 
     @property
@@ -221,7 +222,11 @@ class BeitVisionTransformer(nn.Module):
         dpr = np.linspace(0, c.drop_path_rate, c.depth)
         block_cls = BeitBlock
         if c.remat:
-            block_cls = nn.remat(BeitBlock, static_argnums=(4,))
+            policy = (jax.checkpoint_policies
+                      .dots_with_no_batch_dims_saveable
+                      if c.remat_policy == "dots" else None)
+            block_cls = nn.remat(BeitBlock, static_argnums=(4,),
+                                 policy=policy)
         self.blocks = [block_cls(c, drop_path=float(dpr[i]),
                                  name=f"block_{i}")
                        for i in range(c.depth)]

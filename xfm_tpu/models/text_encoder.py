@@ -65,6 +65,11 @@ class TextConfig:
     is_decoder: bool = False
     remat: bool = False             # activation checkpointing per layer
                                     # (reference models/xbert.py:584-606)
+    remat_policy: str = "full"      # 'full' = recompute everything;
+                                    # 'dots' = keep weight-stationary matmul
+                                    # outputs, recompute attention probs +
+                                    # elementwise (cheap FLOPs, kills the
+                                    # O(N²) softmax activation memory)
     dtype: Any = jnp.float32        # compute dtype
 
     @classmethod
@@ -231,8 +236,13 @@ class TextTransformer(nn.Module):
         layer_cls = TransformerLayer
         if c.remat:
             # recompute each layer in the backward pass: activation memory
-            # drops from O(L) to O(1) layers (trades ~1/3 more FLOPs)
-            layer_cls = nn.remat(TransformerLayer, static_argnums=(5, 6))
+            # drops from O(L) to O(1) layers (trades ~1/3 more FLOPs);
+            # 'dots' keeps weight-stationary matmul outputs instead
+            policy = (jax.checkpoint_policies
+                      .dots_with_no_batch_dims_saveable
+                      if c.remat_policy == "dots" else None)
+            layer_cls = nn.remat(TransformerLayer, static_argnums=(5, 6),
+                                 policy=policy)
         self.layers = [
             layer_cls(c, has_cross_attention=(i >= c.fusion_layer),
                       name=f"layer_{i}")

@@ -272,10 +272,78 @@ def _score_captions(results, cfg):
                              {str(k): v for k, v in refs.items()})
 
 
+def main_domain_pretrain(args, config: Optional[dict] = None):
+    """Caption-domain pretrain (reference Captioning_pretrain.py:151-178):
+    LM loss over an image-text JSONL stream; decoder initialized from the
+    text encoder (reference models/model_generation.py:204-253)."""
+    from ..data.pretrain_data import ImageTextStream
+    from ..data.transforms import TrainTransform
+
+    ctx = TaskContext.from_args(args)
+    cfg = ctx.config
+    image_res = cfg.get("image_res", 224)
+    tokenizer = build_tokenizer_or_fallback(cfg)
+    model, mcfg = build_model(cfg, tokenizer)
+
+    stream = ImageTextStream(
+        cfg["train_file"], cfg, tokenizer,
+        TrainTransform(image_res, hflip=False),
+        rank=jax.process_index(), world_size=jax.process_count(),
+        with_image_mask=False)
+
+    T = cfg.get("max_tokens", 30)
+    example = dict(images=jnp.zeros((2, image_res, image_res, 3)),
+                   text_ids=jnp.ones((2, T), jnp.int32),
+                   text_atts=jnp.ones((2, T), jnp.int32))
+    state, sched = build_state(ctx, model, example,
+                               XFMForCaptioning.init_all, 1)
+    if args.checkpoint:
+        state = load_ckpt_into(state, mcfg, args.checkpoint,
+                               decoder_from_fusion=False)
+
+    def loss_fn(params, batch, rng):
+        loss = model.apply({"params": params}, batch["images"],
+                           batch["text_ids"], batch["text_atts"],
+                           train=True, deterministic=False,
+                           rngs={"dropout": rng})
+        return loss, {}
+
+    step_fn = make_train_step(loss_fn)
+    rng = jax.random.PRNGKey(ctx.seed)
+    max_steps = int(cfg.get("max_steps", 1000))
+    from ..core.mesh import shard_batch
+
+    it = iter(stream)
+    for step in range(max_steps):
+        batch = dict(next(it))
+        batch.pop("image_mask", None)
+        batch = {k: batch[k] for k in ("images", "text_ids", "text_atts")}
+        batch = shard_batch(ctx.mesh, batch)
+        rng, sub = jax.random.split(rng)
+        with ctx.mesh:
+            state, metrics = step_fn(state, batch, sub)
+        if step % cfg.get("print_freq", 50) == 0 and is_main_process():
+            print(f"caption-pt step {step}: loss "
+                  f"{float(metrics['loss']):.4f}", flush=True)
+    from ..train.checkpoint import save_checkpoint
+
+    save_checkpoint(os.path.join(ctx.out_dir, "ckpt"), state,
+                    step=max_steps)
+    return state
+
+
 def main_pipeline(args, config=None):
-    """Two-stage coco_captioning (reference run.py:326-333): caption-domain
-    pretrain then fine-tune. Round-1: runs the fine-tune stage; pass
-    --load_ckpt_from for a domain-pretrained start."""
+    """Two-stage coco_captioning (reference run.py:326-333). When the config
+    carries `domain_pretrain: true` the caption-domain pretrain stage runs
+    (main_domain_pretrain); otherwise — or with --load_ckpt_from pointing at
+    a domain-pretrained checkpoint — the fine-tune stage runs."""
+    from ..core.config import load_config
+
+    cfg = load_config(args.config)
+    if cfg.get("domain_pretrain", False):
+        return main_domain_pretrain(args, config)
+    if getattr(args, "load_ckpt_from", None) and not args.checkpoint:
+        args.checkpoint = args.load_ckpt_from
     return main(args, config)
 
 
