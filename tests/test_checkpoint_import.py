@@ -212,3 +212,18 @@ def test_roundtrip_export_import():
     for k in f0:
         np.testing.assert_allclose(np.asarray(f0[k]), np.asarray(f1[k]),
                                    atol=1e-6, err_msg=k)
+
+
+def test_choose_layers():
+    from xfm_tpu.train.checkpoint import choose_layers
+
+    sd = {f"enc.layer.{i}.w": np.full((1,), i, np.float32)
+          for i in range(24)}
+    sd["other.w"] = np.zeros((1,), np.float32)
+    mapper = {1: 0, 3: 1, 5: 2}  # 24L→ every other → small
+    out = choose_layers(sd, "enc.layer", mapper)
+    assert out["enc.layer.0.w"][0] == 1
+    assert out["enc.layer.1.w"][0] == 3
+    assert out["enc.layer.2.w"][0] == 5
+    assert "enc.layer.3.w" not in out
+    assert "other.w" in out

@@ -46,6 +46,29 @@ def strip_prefix(sd: Dict[str, np.ndarray], prefix: str) -> Dict[str, np.ndarray
     return {k[plen:]: v for k, v in sd.items() if k.startswith(prefix)}
 
 
+def choose_layers(sd: Dict[str, np.ndarray], prefix: str,
+                  mapper: Dict[int, int]) -> Dict[str, np.ndarray]:
+    """Layer-subset remapping for initializing an N-layer encoder from an
+    M-layer checkpoint (reference models/xfm.py:64-78
+    load_params_choose_layers): `<prefix>.{src}.` keys become
+    `<prefix>.{dst}.`; unmapped layers under `prefix` are dropped."""
+    out: Dict[str, np.ndarray] = {}
+    for k, v in sd.items():
+        if not k.startswith(prefix + "."):
+            out[k] = v
+            continue
+        rest = k[len(prefix) + 1:]
+        head, _, tail = rest.partition(".")
+        if head.isdigit():
+            src = int(head)
+            if src in mapper:
+                out[f"{prefix}.{mapper[src]}.{tail}"] = v
+            # else: dropped
+        else:
+            out[k] = v
+    return out
+
+
 # ---------------------------------------------------------------------------
 # interpolation utilities (reference models/beit2.py:572-849)
 
