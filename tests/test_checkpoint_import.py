@@ -227,3 +227,91 @@ def test_choose_layers():
     assert out["enc.layer.2.w"][0] == 5
     assert "enc.layer.3.w" not in out
     assert "other.w" in out
+
+
+def test_clip_vit_import_covers_tree():
+    from xfm_tpu.models.clip_vit import ClipVisionConfig, ClipVisionTransformer
+    from xfm_tpu.train.checkpoint import import_clip_vit
+
+    cfg = ClipVisionConfig(image_res=32, patch_size=16, hidden_size=24,
+                           num_hidden_layers=2, num_attention_heads=2,
+                           intermediate_size=48)
+    rng = np.random.RandomState(0)
+    sd = {
+        "vision_model.embeddings.class_embedding": rng.randn(24).astype(np.float32),
+        "vision_model.embeddings.patch_embedding.weight": rng.randn(
+            24, 3, 16, 16).astype(np.float32),
+        "vision_model.embeddings.position_embedding.weight": rng.randn(
+            5, 24).astype(np.float32),
+    }
+    for nm in ("pre_layrnorm", "post_layernorm"):
+        sd[f"vision_model.{nm}.weight"] = rng.randn(24).astype(np.float32)
+        sd[f"vision_model.{nm}.bias"] = rng.randn(24).astype(np.float32)
+    for i in range(2):
+        b = f"vision_model.encoder.layers.{i}"
+        for nm, dout, din in (("self_attn.q_proj", 24, 24),
+                              ("self_attn.k_proj", 24, 24),
+                              ("self_attn.v_proj", 24, 24),
+                              ("self_attn.out_proj", 24, 24),
+                              ("mlp.fc1", 48, 24), ("mlp.fc2", 24, 48)):
+            sd[f"{b}.{nm}.weight"] = rng.randn(dout, din).astype(np.float32)
+            sd[f"{b}.{nm}.bias"] = rng.randn(dout).astype(np.float32)
+        for nm in ("layer_norm1", "layer_norm2"):
+            sd[f"{b}.{nm}.weight"] = rng.randn(24).astype(np.float32)
+            sd[f"{b}.{nm}.bias"] = rng.randn(24).astype(np.float32)
+
+    model = ClipVisionTransformer(cfg)
+    init = model.init(jax.random.PRNGKey(0), jnp.ones((1, 32, 32, 3)))
+    imported = import_clip_vit(sd, cfg)
+    merged, missing, unexpected = merge_params(init["params"],
+                                               to_jax(imported))
+    assert not missing and not unexpected, (missing, unexpected)
+    out = model.apply({"params": merged}, jnp.ones((2, 32, 32, 3)))
+    assert out.shape == (2, 5, 24)
+
+
+def test_swin_import_covers_tree():
+    from xfm_tpu.models.swin import SwinConfig, SwinTransformer
+    from xfm_tpu.train.checkpoint import import_swin
+
+    cfg = SwinConfig(image_res=32, patch_size=4, embed_dim=16,
+                     depths=(1, 1), num_heads=(2, 4), window_size=4,
+                     drop_path_rate=0.0)
+    rng = np.random.RandomState(0)
+    sd = {
+        "patch_embed.proj.weight": rng.randn(16, 3, 4, 4).astype(np.float32),
+        "patch_embed.proj.bias": rng.randn(16).astype(np.float32),
+        "patch_embed.norm.weight": rng.randn(16).astype(np.float32),
+        "patch_embed.norm.bias": rng.randn(16).astype(np.float32),
+        "norm.weight": rng.randn(32).astype(np.float32),
+        "norm.bias": rng.randn(32).astype(np.float32),
+    }
+    for si, (depth, dim) in enumerate(((1, 16), (1, 32))):
+        for bi in range(depth):
+            b = f"layers.{si}.blocks.{bi}"
+            sd[f"{b}.norm1.weight"] = rng.randn(dim).astype(np.float32)
+            sd[f"{b}.norm1.bias"] = rng.randn(dim).astype(np.float32)
+            sd[f"{b}.norm2.weight"] = rng.randn(dim).astype(np.float32)
+            sd[f"{b}.norm2.bias"] = rng.randn(dim).astype(np.float32)
+            sd[f"{b}.attn.qkv.weight"] = rng.randn(3 * dim, dim).astype(np.float32)
+            sd[f"{b}.attn.qkv.bias"] = rng.randn(3 * dim).astype(np.float32)
+            sd[f"{b}.attn.proj.weight"] = rng.randn(dim, dim).astype(np.float32)
+            sd[f"{b}.attn.proj.bias"] = rng.randn(dim).astype(np.float32)
+            sd[f"{b}.attn.relative_position_bias_table"] = rng.randn(
+                49, cfg.num_heads[si]).astype(np.float32)  # 7x7 src window
+            sd[f"{b}.mlp.fc1.weight"] = rng.randn(dim * 4, dim).astype(np.float32)
+            sd[f"{b}.mlp.fc1.bias"] = rng.randn(dim * 4).astype(np.float32)
+            sd[f"{b}.mlp.fc2.weight"] = rng.randn(dim, dim * 4).astype(np.float32)
+            sd[f"{b}.mlp.fc2.bias"] = rng.randn(dim).astype(np.float32)
+    sd["layers.0.downsample.norm.weight"] = rng.randn(64).astype(np.float32)
+    sd["layers.0.downsample.norm.bias"] = rng.randn(64).astype(np.float32)
+    sd["layers.0.downsample.reduction.weight"] = rng.randn(32, 64).astype(np.float32)
+
+    model = SwinTransformer(cfg)
+    init = model.init(jax.random.PRNGKey(0), jnp.ones((1, 32, 32, 3)))
+    imported = import_swin(sd, cfg)
+    merged, missing, unexpected = merge_params(init["params"],
+                                               to_jax(imported))
+    assert not missing and not unexpected, (missing, unexpected)
+    out = model.apply({"params": merged}, jnp.ones((2, 32, 32, 3)))
+    assert out.shape == (2, 17, 32)

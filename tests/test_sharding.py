@@ -150,3 +150,35 @@ def test_sharded_loss_matches_replicated(eight_devices):
     with mesh:
         sharded = float(jax.jit(losses_det)(sparams, sbatch))
     np.testing.assert_allclose(sharded, base, rtol=2e-4, atol=2e-4)
+
+
+@pytest.mark.parametrize("mesh_shape", [(2, 2, 2), (1, 1, 8)])
+def test_tp_loss_matches_replicated(eight_devices, mesh_shape):
+    """Deterministic losses must be numerically identical (up to fp noise)
+    under tensor/fsdp sharding — validates the partition rules don't change
+    the math."""
+    data, fsdp, tensor = mesh_shape
+    mesh = make_mesh(eight_devices, data=data, fsdp=fsdp, tensor=tensor)
+    model = XFMForPretrain(tiny_cfg())
+    batch = make_batch()
+
+    def init_params():
+        return model.init({"params": jax.random.PRNGKey(0)},
+                          batch["images"], batch["text_ids"],
+                          batch["text_atts"],
+                          method=XFMForPretrain.init_all)["params"]
+
+    params = init_params()
+
+    def losses_det(params, batch):
+        out = model.apply({"params": params}, **batch, ret_mim=True,
+                          ret_match=False, rngs={})
+        return out["loss_itc"] + out["loss_mlm"] + out["loss_mim"]
+
+    base = float(jax.jit(losses_det)(params, batch))
+    pshard = param_shardings(jax.eval_shape(init_params), mesh)
+    sparams = jax.tree.map(jax.device_put, params, pshard)
+    sbatch = shard_batch(mesh, batch)
+    with mesh:
+        sharded = float(jax.jit(losses_det)(sparams, sbatch))
+    np.testing.assert_allclose(sharded, base, rtol=3e-4, atol=3e-4)

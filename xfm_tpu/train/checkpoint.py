@@ -256,6 +256,104 @@ def import_beit2(sd: Dict[str, np.ndarray], config: VisionConfig) -> Dict[str, A
 
 
 # ---------------------------------------------------------------------------
+# CLIP-ViT import (HF clip-vit-base naming; reference models/xfm.py:147-170)
+
+def import_clip_vit(sd: Dict[str, np.ndarray], config) -> Dict[str, Any]:
+    """`sd` rooted at the HF vision tower (keys under 'vision_model.' or the
+    reference's stripped names). Maps onto ClipVisionTransformer."""
+    if any(k.startswith("vision_model.") for k in sd):
+        sd = strip_prefix(sd, "vision_model.")
+    emb = {k[len("embeddings."):]: v for k, v in sd.items()
+           if k.startswith("embeddings.")}
+    if emb:
+        sd = {**sd, **emb}
+    from ..ops.patch_embed import patchify_kernel_from_conv
+
+    conv_key = ("patch_embedding.weight" if "patch_embedding.weight" in sd
+                else "patch_embed.weight")
+    pos_key = ("position_embedding.weight" if "position_embedding.weight"
+               in sd else "pos_embed.weight")
+    pos = sd[pos_key]
+    if pos.shape[0] - 1 != config.num_patches:
+        pos = interpolate_abs_pos_embed(pos[None],
+                                        config.num_patches)[0]
+    p: Dict[str, Any] = {
+        "class_embedding": sd["class_embedding"].reshape(-1),
+        "patch_embed_kernel": np.asarray(
+            patchify_kernel_from_conv(jnp.asarray(sd[conv_key]))),
+        "position_embedding": pos,
+        "pre_layrnorm": _ln(sd, "pre_layrnorm"),
+        "post_layernorm": _ln(sd, "post_layernorm"),
+    }
+    for i in range(config.num_hidden_layers):
+        b = f"encoder.layers.{i}"
+        p[f"layer_{i}"] = {
+            "layer_norm1": _ln(sd, f"{b}.layer_norm1"),
+            "layer_norm2": _ln(sd, f"{b}.layer_norm2"),
+            "q_proj": _dense(sd, f"{b}.self_attn.q_proj"),
+            "k_proj": _dense(sd, f"{b}.self_attn.k_proj"),
+            "v_proj": _dense(sd, f"{b}.self_attn.v_proj"),
+            "out_proj": _dense(sd, f"{b}.self_attn.out_proj"),
+            "fc1": _dense(sd, f"{b}.mlp.fc1"),
+            "fc2": _dense(sd, f"{b}.mlp.fc2"),
+        }
+    return p
+
+
+# ---------------------------------------------------------------------------
+# Swin import (Microsoft Swin naming; reference models/xfm.py:173-205)
+
+def import_swin(sd: Dict[str, np.ndarray], config) -> Dict[str, Any]:
+    if "model" in sd:
+        sd = sd["model"]
+    from ..ops.patch_embed import patchify_kernel_from_conv
+    from ..models.swin import SwinConfig  # noqa: F401 (typing aid)
+
+    p: Dict[str, Any] = {
+        "patch_embed": {"kernel": np.asarray(patchify_kernel_from_conv(
+            jnp.asarray(sd["patch_embed.proj.weight"]))),
+            "bias": sd["patch_embed.proj.bias"]},
+        "patch_norm": _ln(sd, "patch_embed.norm"),
+        "norm": _ln(sd, "norm"),
+    }
+    ws = config.window_size
+    dst_num = (2 * ws - 1) ** 2
+    for si, depth in enumerate(config.depths):
+        for bi in range(depth):
+            b = f"layers.{si}.blocks.{bi}"
+            table = sd[f"{b}.attn.relative_position_bias_table"]
+            if table.shape[0] != dst_num:
+                table = _interp_swin_table(table, dst_num)
+            p[f"stage{si}_block{bi}"] = {
+                "norm1": _ln(sd, f"{b}.norm1"),
+                "norm2": _ln(sd, f"{b}.norm2"),
+                "qkv": _dense(sd, f"{b}.attn.qkv"),
+                "proj": _dense(sd, f"{b}.attn.proj"),
+                "relative_position_bias_table": table,
+                "fc1": _dense(sd, f"{b}.mlp.fc1"),
+                "fc2": _dense(sd, f"{b}.mlp.fc2"),
+            }
+        if si < len(config.depths) - 1:
+            d = f"layers.{si}.downsample"
+            p[f"merge{si}"] = {
+                "norm": _ln(sd, f"{d}.norm"),
+                "reduction": {"kernel": sd[f"{d}.reduction.weight"].T},
+            }
+    return p
+
+
+def _interp_swin_table(table: np.ndarray, dst_num: int) -> np.ndarray:
+    """Bicubic resize of a Swin rel-pos table across window sizes
+    (reference models/swin_transformer.py:595 interpolate_relative_pos_embed)."""
+    src = int(round(table.shape[0] ** 0.5))
+    dst = int(round(dst_num ** 0.5))
+    h = table.shape[1]
+    grid = jnp.asarray(table.reshape(1, src, src, h), jnp.float32)
+    out = jax.image.resize(grid, (1, dst, dst, h), method="cubic")
+    return np.asarray(out).reshape(dst_num, h)
+
+
+# ---------------------------------------------------------------------------
 # MLP heads built with nn.Sequential in torch (reference models/xfm.py:115-121)
 
 def import_mlp_head(sd: Dict[str, np.ndarray], prefix: str) -> Dict[str, Any]:
@@ -292,7 +390,13 @@ def import_xfm_checkpoint(sd: Dict[str, np.ndarray], xfm_config,
 
     vis_sd = strip_prefix(sd, "vision_encoder.")
     if vis_sd:
-        backbone["vision_encoder"] = import_beit2(vis_sd, c.vision)
+        kind = getattr(c, "vision_backbone", "beit2")
+        if kind == "clip_vit":
+            backbone["vision_encoder"] = import_clip_vit(vis_sd, c.vision)
+        elif kind == "swin":
+            backbone["vision_encoder"] = import_swin(vis_sd, c.vision)
+        else:
+            backbone["vision_encoder"] = import_beit2(vis_sd, c.vision)
 
     for name, cfg, with_mlm in (("text_encoder", c.text, c.use_mlm_loss),
                                 ("fusion_encoder", c.fusion, True)):
