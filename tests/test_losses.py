@@ -81,3 +81,50 @@ def test_per_sample_lm_loss_sums():
     lp = jax.nn.log_softmax(logits, -1)
     np.testing.assert_allclose(float(got[0]),
                                float(-(lp[0, 0, 1] + lp[0, 1, 2])), rtol=1e-6)
+
+
+def test_glue_metrics_known_values():
+    from xfm_tpu.eval import glue_metrics as g
+
+    preds = [1, 0, 1, 1]
+    labels = [1, 0, 0, 1]
+    assert g.accuracy(preds, labels) == 0.75
+    # f1: tp=2, fp=1, fn=0 → p=2/3, r=1 → f1=0.8
+    np.testing.assert_allclose(g.f1(preds, labels), 0.8)
+    # perfect correlation
+    np.testing.assert_allclose(g.pearson([1, 2, 3], [2, 4, 6]), 1.0)
+    np.testing.assert_allclose(g.spearman([1, 2, 3], [10, 20, 30]), 1.0)
+    # mcc of perfect prediction = 1
+    np.testing.assert_allclose(
+        g.matthews_corrcoef([1, 0, 1, 0], [1, 0, 1, 0]), 1.0)
+
+
+def test_vqa_answer_processing():
+    from xfm_tpu.eval.vqa_eval import process_answer, vqa_accuracy
+
+    assert process_answer("A Dog!") == "dog"
+    assert process_answer("twenty one") == "twenty 1"
+    assert process_answer("dont know") == "don't know"
+    anns = {1: ["dog"] * 10, 2: ["cat"] * 5 + ["dog"] * 5}
+    preds = [{"question_id": 1, "answer": "the dog"},
+             {"question_id": 2, "answer": "cat"}]
+    acc = vqa_accuracy(preds, anns)
+    assert 0.5 < acc <= 1.0
+
+
+def test_cider_rewards_exact_match():
+    from xfm_tpu.eval.cider import CiderD
+
+    refs = {"a": ["the cat sat on the mat"], "b": ["a dog runs fast"]}
+    c = CiderD(refs)
+    _, per = c.score({"a": "the cat sat on the mat", "b": "purple monkey"})
+    assert per["a"] > 5.0  # exact match scores high (scale 10)
+    assert per["b"] < 1.0
+
+
+def test_bleu_exact_match():
+    from xfm_tpu.eval.caption_metrics import bleu
+
+    out = bleu({"1": "the cat sat"}, {"1": ["the cat sat"]})
+    np.testing.assert_allclose(out["Bleu_1"], 1.0)
+    np.testing.assert_allclose(out["Bleu_3"], 1.0)

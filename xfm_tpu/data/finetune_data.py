@@ -201,15 +201,34 @@ class VQAData:
                                   self.answer_max_tokens)
         return ids, atts
 
+    @staticmethod
+    def _swap_left_right(text: str) -> str:
+        out = []
+        for w in text.split():
+            out.append("right" if w == "left"
+                       else "left" if w == "right" else w)
+        return " ".join(out)
+
     def epoch(self, epoch_seed=0) -> Iterator[dict]:
         order = np.arange(len(self.ann))
+        rng = np.random.default_rng(epoch_seed)
         if self.split == "train":
-            np.random.default_rng(epoch_seed).shuffle(order)
+            rng.shuffle(order)
         imgs, qs, ans_rows, qid_rows = [], [], [], []
         for i in order:
             a = self.ann[int(i)]
-            imgs.append(self.transform(decode_image(self._image_path(a))))
-            qs.append(pre_caption(a["question"], 30))
+            img = self.transform(decode_image(self._image_path(a)))
+            question = pre_caption(a["question"], 30)
+            # careful hflip: flip image + swap left/right words
+            # (reference dataset/vqa_dataset.py:48-66)
+            if self.split == "train" and rng.random() < 0.5:
+                img = img[:, ::-1, :].copy()
+                question = self._swap_left_right(question)
+                if "answer" in a and isinstance(a["answer"], list):
+                    a = dict(a, answer=[self._swap_left_right(x)
+                                        for x in a["answer"]])
+            imgs.append(img)
+            qs.append(question)
             if self.split == "train":
                 if a.get("dataset") == "vg":
                     answers, weights = [a["answer"]], [0.5]

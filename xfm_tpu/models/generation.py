@@ -153,6 +153,8 @@ class XFMForCaptioning(nn.Module):
     decoder_fusion_start_at: int = 0
     pad_token_id: int = 1
     prompt_length: int = 0  # tokens at the start excluded from the loss
+    label_smoothing: float = 0.0  # (reference models/xbert.py:1190
+                                  # LabelSmoothSoftmaxCEV1 path)
 
     def setup(self):
         self.backbone = XFMBase(self.config)
@@ -189,7 +191,8 @@ class XFMForCaptioning(nn.Module):
             # models/model_generation.py:299-318)
             pos = jnp.arange(labels.shape[1])[None]
             labels = jnp.where(pos < self.prompt_length, -100, labels)
-        per = shift_lm_loss(logits, labels)
+        per = shift_lm_loss(logits, labels,
+                            label_smoothing=self.label_smoothing)
         return jnp.mean(per)
 
     def decode_step(self, token, image_embeds, image_atts, past_length=0,

@@ -68,7 +68,8 @@ def build_model(cfg, tokenizer):
         mcfg, num_dec_layers=cfg.get("num_dec_layers", 12),
         decoder_fusion_start_at=cfg.get("decoder_fusion_start_at", 0),
         pad_token_id=pad,
-        prompt_length=cfg.get("prompt_length", 0)), mcfg
+        prompt_length=cfg.get("prompt_length", 0),
+        label_smoothing=cfg.get("label_smoothing", 0.0)), mcfg
 
 
 def load_ckpt_into(state, mcfg, ckpt_path, decoder_from_fusion=True):
