@@ -76,7 +76,7 @@ def main():
     from xfm_tpu.train.schedules import linear_warmup_decay
     from xfm_tpu.train.train_state import TrainState
 
-    B = int(os.environ.get("XFM_BENCH_BATCH", "32"))
+    B = int(os.environ.get("XFM_BENCH_BATCH", "48"))
     T, M = 30, 15
     cfg = _xfm_config(dtype=jnp.bfloat16)
     from xfm_tpu.models import XFMForPretrain

@@ -171,17 +171,23 @@ class BeitBlock(nn.Module):
                  deterministic=True):
         c = self.config
         C = c.embed_dim
-        gamma_1 = self.param("gamma_1",
-                             nn.initializers.constant(c.init_values), (C,))
-        gamma_2 = self.param("gamma_2",
-                             nn.initializers.constant(c.init_values), (C,))
+        # LayerScale only when init_values > 0 (reference models/beit2.py:
+        # 186-189 creates gamma_1/2 only for init_values > 0)
+        use_ls = c.init_values and c.init_values > 0
+        if use_ls:
+            gamma_1 = self.param(
+                "gamma_1", nn.initializers.constant(c.init_values), (C,))
+            gamma_2 = self.param(
+                "gamma_2", nn.initializers.constant(c.init_values), (C,))
         dp = DropPath(self.drop_path)
 
         h = nn.LayerNorm(epsilon=c.layer_norm_eps, name="norm1",
                          dtype=c.dtype)(x)
         h = BeitAttention(c, name="attn")(h, rel_pos_bias, attn_bias,
                                           deterministic)
-        x = x + dp(gamma_1.astype(h.dtype) * h, deterministic)
+        if use_ls:
+            h = gamma_1.astype(h.dtype) * h
+        x = x + dp(h, deterministic)
 
         h = nn.LayerNorm(epsilon=c.layer_norm_eps, name="norm2",
                          dtype=c.dtype)(x)
@@ -189,7 +195,9 @@ class BeitBlock(nn.Module):
         h = gelu_exact(h)
         h = nn.Dense(C, name="fc2", dtype=c.dtype)(h)
         h = nn.Dropout(c.drop_rate)(h, deterministic=deterministic)
-        x = x + dp(gamma_2.astype(h.dtype) * h, deterministic)
+        if use_ls:
+            h = gamma_2.astype(h.dtype) * h
+        x = x + dp(h, deterministic)
         return x
 
 

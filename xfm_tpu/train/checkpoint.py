@@ -234,8 +234,6 @@ def import_beit2(sd: Dict[str, np.ndarray], config: VisionConfig) -> Dict[str, A
         blk = {
             "norm1": _ln(sd, f"{b}.norm1"),
             "norm2": _ln(sd, f"{b}.norm2"),
-            "gamma_1": sd[f"{b}.gamma_1"],
-            "gamma_2": sd[f"{b}.gamma_2"],
             "fc1": _dense(sd, f"{b}.mlp.fc1"),
             "fc2": _dense(sd, f"{b}.mlp.fc2"),
             "attn": {
@@ -247,6 +245,9 @@ def import_beit2(sd: Dict[str, np.ndarray], config: VisionConfig) -> Dict[str, A
                     sd[f"{b}.attn.relative_position_bias_table"], window),
             },
         }
+        if f"{b}.gamma_1" in sd:  # LayerScale checkpoints only
+            blk["gamma_1"] = sd[f"{b}.gamma_1"]
+            blk["gamma_2"] = sd[f"{b}.gamma_2"]
         p[f"block_{i}"] = blk
     if "fc_norm.weight" in sd:
         p["fc_norm"] = _ln(sd, "fc_norm")
@@ -531,8 +532,9 @@ def export_beit2(p: Dict[str, Any], depth: int) -> Dict[str, np.ndarray]:
         for nm in ("norm1", "norm2"):
             sd[f"{b}.{nm}.weight"] = _t(bp[nm]["scale"])
             sd[f"{b}.{nm}.bias"] = _t(bp[nm]["bias"])
-        sd[f"{b}.gamma_1"] = _t(bp["gamma_1"])
-        sd[f"{b}.gamma_2"] = _t(bp["gamma_2"])
+        if "gamma_1" in bp:
+            sd[f"{b}.gamma_1"] = _t(bp["gamma_1"])
+            sd[f"{b}.gamma_2"] = _t(bp["gamma_2"])
         sd[f"{b}.attn.qkv.weight"] = _t(bp["attn"]["qkv"]["kernel"]).T
         sd[f"{b}.attn.q_bias"] = _t(bp["attn"]["q_bias"])
         sd[f"{b}.attn.v_bias"] = _t(bp["attn"]["v_bias"])
