@@ -108,3 +108,32 @@ def test_grounding_end_to_end(tmp_path):
 
     metrics = grounding.main(make_args(cfg_path, tmp_path / "out"))
     assert 0.0 <= metrics["best_iou50"] <= 1.0
+
+
+@pytest.mark.slow
+def test_captioning_end_to_end(tmp_path):
+    names = write_images(tmp_path, 6)
+    train = [{"image": n, "caption": f"a photo of item {i}",
+              "image_id": i} for i, n in enumerate(names)]
+    val = [{"image": n, "caption": [f"a photo of item {i}"],
+            "image_id": i} for i, n in enumerate(names)]
+    (tmp_path / "train.json").write_text(json.dumps(train))
+    (tmp_path / "val.json").write_text(json.dumps(val))
+    cfg = dict(tiny_model_keys(), train_file=[str(tmp_path / "train.json")],
+               val_file=str(tmp_path / "val.json"),
+               image_root=str(tmp_path), batch_size_train=6,
+               batch_size_test=6, max_tokens=12, max_length=6,
+               num_dec_layers=2, decoder_fusion_start_at=0,
+               schedular={"sched": "linear", "lr": 1e-3, "epochs": 1,
+                          "num_warmup_steps": 0},
+               optimizer={"lr": 1e-3, "weight_decay": 0.01})
+    cfg_path = tmp_path / "cap.yaml"
+    yaml.safe_dump(cfg, open(cfg_path, "w"))
+
+    from xfm_tpu.tasks import captioning
+
+    metrics = captioning.main(make_args(cfg_path, tmp_path / "out"))
+    assert "CIDEr" in metrics
+    import os as _os
+
+    assert _os.path.exists(tmp_path / "out" / "log.txt")
