@@ -71,3 +71,24 @@ def test_fused_backward_matches_xla():
     for a, b in zip(g_ref, g_fus):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=3e-3,
                                    rtol=1e-2)
+
+
+def test_fused_backward_mask_bias():
+    """Backward through a broadcast [B,1,1,Nk] mask bias (cross-attn case)."""
+    B, Nq, Nk, H, D = 2, 12, 20, 2, 8
+    q, k, v = rand((B, Nq, H, D), 0), rand((B, Nk, H, D), 1), rand((B, Nk, H, D), 2)
+    mask = jnp.ones((B, Nk), jnp.int32).at[:, 15:].set(0)
+    bias = mask_to_bias(mask)
+    scale = D ** -0.5
+
+    def f_ref(q, k, v):
+        return jnp.sum(_xla_reference(q, k, v, bias, scale) ** 2)
+
+    def f_fused(q, k, v):
+        return jnp.sum(flash_attention(q, k, v, bias, scale, True) ** 2)
+
+    g_ref = jax.grad(f_ref, argnums=(0, 1, 2))(q, k, v)
+    g_fus = jax.grad(f_fused, argnums=(0, 1, 2))(q, k, v)
+    for a, b in zip(g_ref, g_fus):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=3e-3,
+                                   rtol=1e-2)
