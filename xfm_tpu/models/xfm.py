@@ -32,11 +32,6 @@ from .clip_vit import ClipVisionConfig, ClipVisionTransformer
 from .text_encoder import TextConfig, TextTransformer, cross_entropy
 
 
-def build_mlp_layers(input_dim: int, output_dim: int):
-    """2-layer GELU MLP head spec (reference models/xfm.py:115-121)."""
-    return input_dim * 2, output_dim
-
-
 class MLPHead(nn.Module):
     """Linear(d→2d) → LayerNorm → GELU → Linear(2d→out)
     (reference models/xfm.py:115-121)."""

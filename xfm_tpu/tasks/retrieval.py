@@ -11,19 +11,16 @@ process.
 from __future__ import annotations
 
 import os
-import time
-from functools import partial
 from typing import Optional
 
 import jax
 import jax.numpy as jnp
 import numpy as np
 
-from ..core.mesh import shard_batch
 from ..data.finetune_data import RetrievalEvalData, RetrievalTrainData
 from ..data.transforms import TestTransform, TrainTransform
 from ..models import XFMForRetrieval, config_from_yaml
-from ..train.metrics import MetricLogger, is_main_process
+from ..train.metrics import is_main_process
 from ..train.train_state import make_train_step
 from .common import TaskContext, append_log, build_state, train_epoch
 
@@ -213,8 +210,16 @@ def main(args, config: Optional[dict] = None):
 
     step_fn = make_train_step(loss_fn)
     rng = jax.random.PRNGKey(ctx.seed)
-    best = 0.0
+    # zero-shot evaluation before training (reference Retrieval.py:330-337);
+    # with epochs: 0 this IS the result (the *_zero configs)
+    zs = evaluation(model, state.params, test_data, cfg)
+    append_log(ctx.out_dir, {"epoch": -1, **zs})
+    if is_main_process():
+        print(f"zero-shot: {zs}", flush=True)
+    best = zs["r_mean"]
     epochs = int(cfg.get("schedular", {}).get("epochs", 5))
+    if epochs == 0:
+        return zs
     for epoch in range(epochs):
         loader = train_data.epoch(epoch_seed=ctx.seed + epoch)
         state, stats = train_epoch(ctx, state, step_fn, loader, rng, epoch,
