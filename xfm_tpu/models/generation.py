@@ -196,15 +196,17 @@ class XFMForCaptioning(nn.Module):
         return jnp.mean(per)
 
     def decode_step(self, token, image_embeds, image_atts, past_length=0,
-                    deterministic=True):
+                    deterministic=True, cross_from_cache=False):
         """One KV-cached decode step; called under mutable=['cache'].
         `past_length` keeps RoBERTa pad-offset positions correct across
-        steps."""
+        steps; with `cross_from_cache` the image k/v projections are read
+        from the cache written by the first step."""
         hidden = self.text_decoder(token, attention_mask=None,
                                    encoder_hidden_states=image_embeds,
                                    encoder_attention_mask=image_atts,
                                    deterministic=deterministic, decode=True,
-                                   past_length=past_length)
+                                   past_length=past_length,
+                                   cross_from_cache=cross_from_cache)
         return self.text_decoder.mlm_logits(hidden, None)[:, -1, :]
 
     def encode_images(self, images, deterministic=True):
@@ -258,8 +260,8 @@ def generate(model: XFMForCaptioning, variables, images, *, bos_id: int,
         cache, tok, done, rng = carry
         logits, new_vars = model.apply(
             {"params": params, "cache": cache}, tok[:, None], image_embeds,
-            image_atts, i + 1, method=XFMForCaptioning.decode_step,
-            mutable=["cache"])
+            image_atts, i + 1, True, True,
+            method=XFMForCaptioning.decode_step, mutable=["cache"])
         rng, sub = jax.random.split(rng)
         nxt, tok_logp, done = select(logits, done, sub)
         return (new_vars["cache"], nxt, done, rng), (nxt, tok_logp)
@@ -311,7 +313,7 @@ def beam_generate(model: XFMForCaptioning, variables, images, *, bos_id: int,
         cache, scores, tok, done, seqs = carry
         logits, new_vars = model.apply(
             {"params": params, "cache": cache}, tok.reshape(B * K, 1),
-            image_embeds, image_atts, i + 1,
+            image_embeds, image_atts, i + 1, True, True,
             method=XFMForCaptioning.decode_step, mutable=["cache"])
         logp = jax.nn.log_softmax(logits.astype(jnp.float32), -1)
         logp = logp.reshape(B, K, V)

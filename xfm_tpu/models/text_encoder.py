@@ -140,18 +140,40 @@ class SelfAttention(nn.Module):
 
     @nn.compact
     def __call__(self, hidden, kv_source, attention_bias, deterministic=True,
-                 decode=False, prob_gate=None):
+                 decode=False, prob_gate=None, cross_from_cache=False):
         c = self.config
         H = c.num_attention_heads
         D = c.hidden_size // H
 
         q = nn.Dense(c.hidden_size, name="query", dtype=c.dtype)(hidden)
-        k = nn.Dense(c.hidden_size, name="key", dtype=c.dtype)(kv_source)
-        v = nn.Dense(c.hidden_size, name="value", dtype=c.dtype)(kv_source)
         B, Nq = hidden.shape[:2]
         q = q.reshape(B, Nq, H, D)
-        k = k.reshape(B, kv_source.shape[1], H, D)
-        v = v.reshape(B, kv_source.shape[1], H, D)
+
+        if decode and self.is_cross and cross_from_cache:
+            # Cross k/v depend only on the encoder states: the first decode
+            # step projected and cached them; later steps (a separate trace —
+            # the flag is static) read the cache and skip the projections
+            # (the reference's HF past_key_values carry the same trick,
+            # reference models/xbert.py:270-278).
+            Nk = kv_source.shape[1]
+            ck = self.variable("cache", "cross_k", jnp.zeros,
+                               (B, Nk, H, D), c.dtype)
+            cv = self.variable("cache", "cross_v", jnp.zeros,
+                               (B, Nk, H, D), c.dtype)
+            k, v = ck.value, cv.value
+        else:
+            k = nn.Dense(c.hidden_size, name="key", dtype=c.dtype)(kv_source)
+            v = nn.Dense(c.hidden_size, name="value",
+                         dtype=c.dtype)(kv_source)
+            k = k.reshape(B, kv_source.shape[1], H, D)
+            v = v.reshape(B, kv_source.shape[1], H, D)
+            if decode and self.is_cross:
+                ck = self.variable("cache", "cross_k", jnp.zeros, k.shape,
+                                   c.dtype)
+                cv = self.variable("cache", "cross_v", jnp.zeros, v.shape,
+                                   c.dtype)
+                ck.value = k.astype(c.dtype)
+                cv.value = v.astype(c.dtype)
 
         if decode and not self.is_cross:
             # KV-cache for incremental decoding (causal generation).
@@ -203,14 +225,15 @@ class TransformerLayer(nn.Module):
     @nn.compact
     def __call__(self, hidden, attention_bias=None, encoder_hidden_states=None,
                  encoder_attention_bias=None, deterministic=True, decode=False,
-                 cross_prob_gate=None):
+                 cross_prob_gate=None, cross_from_cache=False):
         c = self.config
         x = SelfAttention(c, causal=c.is_decoder, name="attention")(
             hidden, hidden, attention_bias, deterministic, decode)
         if self.has_cross_attention and encoder_hidden_states is not None:
             x = SelfAttention(c, is_cross=True, name="crossattention")(
                 x, encoder_hidden_states, encoder_attention_bias,
-                deterministic, prob_gate=cross_prob_gate)
+                deterministic, decode, prob_gate=cross_prob_gate,
+                cross_from_cache=cross_from_cache)
         h = nn.Dense(c.intermediate_size, name="intermediate_dense",
                      dtype=c.dtype)(x)
         h = ACT[c.hidden_act](h)
@@ -273,7 +296,8 @@ class TextTransformer(nn.Module):
                  token_type_ids=None, position_ids=None, inputs_embeds=None,
                  encoder_hidden_states=None, encoder_attention_mask=None,
                  mode="multi_modal", deterministic=True, decode=False,
-                 past_length=0, cross_gate=None, cross_gate_layer=None):
+                 past_length=0, cross_gate=None, cross_gate_layer=None,
+                 cross_from_cache=False):
         c = self.config
         if inputs_embeds is not None:
             # encoder_embeds path: bypass embeddings entirely
@@ -300,15 +324,19 @@ class TextTransformer(nn.Module):
         else:
             lo, hi = 0, c.num_hidden_layers
 
+        extra = {}
+        if cross_from_cache:  # only thread when set: remat-wrapped layers
+            extra["cross_from_cache"] = True  # must not see extra kwargs
         for i, layer in enumerate(self.layers[lo:hi], start=lo):
             gate = cross_gate if (cross_gate is not None
                                   and i == cross_gate_layer) else None
             if gate is not None:
                 x = layer(x, bias, encoder_hidden_states, ebias,
-                          deterministic, decode, cross_prob_gate=gate)
+                          deterministic, decode, cross_prob_gate=gate,
+                          **extra)
             else:
                 x = layer(x, bias, encoder_hidden_states, ebias,
-                          deterministic, decode)
+                          deterministic, decode, **extra)
         return x
 
 
