@@ -137,3 +137,30 @@ def test_captioning_end_to_end(tmp_path):
     import os as _os
 
     assert _os.path.exists(tmp_path / "out" / "log.txt")
+
+
+@pytest.mark.slow
+def test_captioning_scst_steps(tmp_path):
+    """SCST RL loop: greedy baseline + sampled captions + CIDEr rewards +
+    policy-gradient step (reference Captioning_scst.py:41-96)."""
+    names = write_images(tmp_path, 4)
+    train = [{"image": n, "caption": f"a photo of item {i}",
+              "image_id": i} for i, n in enumerate(names)]
+    (tmp_path / "train.json").write_text(json.dumps(train))
+    cfg = dict(tiny_model_keys(), train_file=[str(tmp_path / "train.json")],
+               val_file=str(tmp_path / "train.json"),
+               image_root=str(tmp_path), batch_size_train=4,
+               batch_size_test=4, max_tokens=12, max_length=5,
+               num_dec_layers=2, decoder_fusion_start_at=0,
+               scst_num_samples=2,
+               schedular={"sched": "linear", "lr": 1e-4, "epochs": 1,
+                          "num_warmup_steps": 0},
+               optimizer={"lr": 1e-4, "weight_decay": 0.01})
+    cfg_path = tmp_path / "scst.yaml"
+    yaml.safe_dump(cfg, open(cfg_path, "w"))
+
+    from xfm_tpu.tasks import captioning
+
+    state = captioning.main(make_args(cfg_path, tmp_path / "out"),
+                            scst=True)
+    assert state is not None

@@ -302,14 +302,13 @@ class CaptioningData:
             a = self.ann[int(i)]
             imgs.append(self.transform(decode_image(
                 os.path.join(self.image_root, a["image"]))))
+            iid = a.get("image_id")
+            if iid is None:
+                iid = int(a["image"].split("_")[-1].split(".")[0])
+            img_ids.append(int(str(iid).split("_")[-1]) if
+                           isinstance(iid, str) else iid)
             if self.train:
                 caps.append(self.prompt + pre_caption(a["caption"], 30))
-            else:
-                iid = a.get("image_id")
-                if iid is None:
-                    iid = int(a["image"].split("_")[-1].split(".")[0])
-                img_ids.append(int(str(iid).split("_")[-1]) if
-                               isinstance(iid, str) else iid)
             if len(imgs) == self.batch_size:
                 yield self._pack(imgs, caps, img_ids)
                 imgs, caps, img_ids = [], [], []
@@ -317,12 +316,10 @@ class CaptioningData:
             yield self._pack(imgs, caps, img_ids)
 
     def _pack(self, imgs, caps, img_ids):
-        out = dict(images=np.stack(imgs))
+        out = dict(images=np.stack(imgs), image_id=np.asarray(img_ids))
         if self.train:
             ids, atts = _encode_texts(self.tok, caps, self.max_tokens)
             out.update(text_ids=ids, text_atts=atts)
-        else:
-            out["image_id"] = np.asarray(img_ids)
         return out
 
 
