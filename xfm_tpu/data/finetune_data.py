@@ -351,7 +351,9 @@ class GroundingData:
             W, H = img.size
             imgs.append(self.transform(img))
             texts.append(pre_caption(a["text"], 30))
-            x, y, w, h = a["bbox"]
+            # weakly-supervised annotations carry candidate `boxes` instead
+            # of a single gt `bbox` — keep a dummy target then
+            x, y, w, h = a.get("bbox", (0, 0, 1, 1))
             boxes.append([(x + w / 2) / W, (y + h / 2) / H, w / W, h / H])
             ref_ids.append(a.get("ref_id", 0))
             if len(imgs) == self.batch_size:

@@ -130,3 +130,69 @@ def main_bbox_pipeline(args, config: Optional[dict] = None):
     domain-pretrain then fine-tune. With --load_ckpt_from pointing at a
     domain-pretrained checkpoint only the fine-tune stage runs."""
     return main(args, config)
+
+
+def main_weakly_supervised(args, config: Optional[dict] = None):
+    """Weakly-supervised grounding via GradCAM (reference Grounding.py):
+    rank candidate detector boxes by cross-attention cam mass at fusion
+    layer `block_num`. Annotations carry per-sample candidate boxes
+    ({"image", "text", "boxes": [[x0,y0,x1,y1],...], "gt": idx})."""
+    import json as _json
+
+    from ..models import XFMForRetrieval, config_from_yaml
+    from ..models.gradcam import itm_gradcam, rank_boxes_by_cam
+
+    ctx = TaskContext.from_args(args)
+    cfg = ctx.config
+    image_res = cfg.get("image_res", 384)
+    tokenizer = build_tokenizer_or_fallback(cfg)
+    mcfg = _maybe_shrink_vocab(
+        config_from_yaml(cfg, use_contrastive_loss=True,
+                         use_matching_loss=True), tokenizer)
+    model = XFMForRetrieval(mcfg)
+    data = GroundingData(cfg["test_file"], TestTransform(image_res),
+                         cfg["image_root"], tokenizer,
+                         max_tokens=cfg.get("max_tokens", 30),
+                         batch_size=cfg.get("batch_size", 8), train=False)
+    example = dict(images=jnp.zeros((2, image_res, image_res, 3)),
+                   text_ids=jnp.ones((2, cfg.get("max_tokens", 30)),
+                                     jnp.int32),
+                   text_atts=jnp.ones((2, cfg.get("max_tokens", 30)),
+                                      jnp.int32))
+    state, _ = build_state(ctx, model, example, XFMForRetrieval.init_all, 1)
+    if args.checkpoint:
+        from ..train.checkpoint import (import_xfm_checkpoint,
+                                        load_torch_state_dict, merge_params,
+                                        to_jax)
+
+        sd = load_torch_state_dict(args.checkpoint)
+        params, _, _ = merge_params(state.params,
+                                    to_jax(import_xfm_checkpoint(sd, mcfg)))
+        state = state.replace(params=params)
+
+    block_num = cfg.get("block_num", 8)
+    ann = data.ann
+    hits = total = 0
+    bi = 0
+    for batch in data.epoch():
+        cam = itm_gradcam(model, state.params,
+                          jnp.asarray(batch["images"]),
+                          jnp.asarray(batch["text_ids"]),
+                          jnp.asarray(batch["text_atts"]),
+                          block_num=block_num)
+        for j in range(batch["images"].shape[0]):
+            a = ann[bi]
+            bi += 1
+            boxes = a.get("boxes")
+            if not boxes:
+                continue
+            scores = rank_boxes_by_cam(cam[j], boxes, image_res,
+                                       cfg.get("patch_size", 16))
+            if int(np.argmax(scores)) == int(a.get("gt", 0)):
+                hits += 1
+            total += 1
+    acc = hits / max(total, 1)
+    append_log(ctx.out_dir, {"gradcam_acc": acc})
+    if is_main_process():
+        print({"gradcam_acc": acc}, flush=True)
+    return {"gradcam_acc": acc}
