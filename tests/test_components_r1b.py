@@ -1,0 +1,174 @@
+"""Tests for the round-1 gap-closing components: METEOR, DeiT backbone,
+CLIP-ViT local-attention region mode, encoder-state cycling, attention-remat
+gradient equivalence, and the fused full+masked vision pass."""
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from xfm_tpu.eval.meteor import meteor, meteor_sentence, porter_stem
+
+
+# ---------------------------------------------------------------- METEOR
+
+def test_porter_stem_classic_cases():
+    assert porter_stem("caresses") == "caress"
+    assert porter_stem("ponies") == "poni"
+    assert porter_stem("relational") == "relat"
+    assert porter_stem("running") == "run"
+    assert porter_stem("agreed") == "agre"
+    assert porter_stem("sky") == "sky"
+
+
+def test_meteor_identical_is_near_one():
+    s = "a man riding a horse on the beach"
+    assert meteor_sentence(s, [s]) > 0.99
+
+
+def test_meteor_orders_by_quality():
+    refs = {"1": ["a cat sits on the mat"]}
+    good = meteor({"1": "a cat sits on the mat"}, refs)
+    ok = meteor({"1": "a cat sitting on a mat"}, refs)       # stem matches
+    bad = meteor({"1": "completely unrelated words entirely"}, refs)
+    assert good > ok > bad
+    assert bad == 0.0
+
+
+def test_meteor_penalty_for_fragmentation():
+    refs = ["the quick brown fox jumps over the lazy dog"]
+    contiguous = meteor_sentence("the quick brown fox", refs)
+    scrambled = meteor_sentence("fox brown the quick", refs)
+    assert contiguous > scrambled
+
+
+# ------------------------------------------------------------------ DeiT
+
+def test_deit_forward_and_gradcam_gate():
+    from xfm_tpu.models.deit import DeitConfig, DeitVisionTransformer
+
+    cfg = DeitConfig(image_res=32, patch_size=16, embed_dim=32, depth=2,
+                     num_heads=2)
+    m = DeitVisionTransformer(cfg)
+    imgs = jax.random.normal(jax.random.PRNGKey(0), (2, 32, 32, 3))
+    params = m.init(jax.random.PRNGKey(1), imgs)
+    out = m.apply(params, imgs)
+    assert out.shape == (2, 1 + cfg.num_patches, 32)
+
+    # GradCAM surface: grad wrt a ones prob_gate on block 1 is nonzero and
+    # has the attention-map shape
+    N = 1 + cfg.num_patches
+    gate = jnp.ones((2, cfg.num_heads, N, N))
+
+    def f(g):
+        o = m.apply(params, imgs, register_blk=1, prob_gate=g)
+        return jnp.sum(o ** 2)
+
+    grads = jax.grad(f)(gate)
+    assert grads.shape == gate.shape
+    assert float(jnp.max(jnp.abs(grads))) > 0
+
+
+# ------------------------------------------- CLIP local-attention region mode
+
+def test_clip_local_attn_region_mode():
+    from xfm_tpu.models.clip_vit import (ClipVisionConfig,
+                                         ClipVisionTransformer)
+
+    cfg = ClipVisionConfig(image_res=32, patch_size=16, hidden_size=32,
+                           num_hidden_layers=3, num_attention_heads=2,
+                           intermediate_size=64, local_attn_depth=2)
+    m = ClipVisionTransformer(cfg)
+    imgs = jax.random.normal(jax.random.PRNGKey(0), (2, 32, 32, 3))
+    params = m.init(jax.random.PRNGKey(1), imgs)
+
+    # 3 regions over 2 images
+    idx = jnp.asarray([0, 0, 1], jnp.int32)
+    N = 1 + cfg.num_patches
+    atts = np.ones((3, N), np.float32)
+    atts[0, 3:] = 0.0  # region 0 sees only cls + first 2 patches
+    region, full = m.apply(params, imgs, idx_to_group_img=idx,
+                           image_atts=jnp.asarray(atts))
+    assert region.shape == (3, N, 32)
+    assert full.shape == (2, N, 32)
+
+    # masking a different patch subset must change the region output
+    atts2 = np.ones((3, N), np.float32)
+    atts2[0, 1:3] = 0.0
+    region2, _ = m.apply(params, imgs, idx_to_group_img=idx,
+                         image_atts=jnp.asarray(atts2))
+    assert not np.allclose(np.asarray(region[0]), np.asarray(region2[0]))
+    # region 2 (full atts) must equal the full row of image 1 through the
+    # local layers (same mask, same input)
+    np.testing.assert_allclose(np.asarray(region[2]), np.asarray(full[1]),
+                               atol=1e-5)
+
+
+# ----------------------------------------------- encoder-state list cycling
+
+def test_encoder_states_list_cycling():
+    from xfm_tpu.models.text_encoder import TextConfig, TextTransformer
+
+    cfg = TextConfig.roberta_base(vocab_size=64, hidden_size=32,
+                                  num_hidden_layers=2, num_attention_heads=2,
+                                  intermediate_size=64, fusion_layer=0,
+                                  encoder_width=32)
+    m = TextTransformer(cfg)
+    ids = jnp.ones((2, 8), jnp.int32)
+    enc_a = jax.random.normal(jax.random.PRNGKey(0), (2, 5, 32))
+    enc_b = jax.random.normal(jax.random.PRNGKey(1), (2, 5, 32))
+    params = m.init(jax.random.PRNGKey(2), ids,
+                    encoder_hidden_states=enc_a,
+                    method=TextTransformer.init_all)
+
+    out_ab = m.apply(params, ids, encoder_hidden_states=[enc_a, enc_b])
+    out_aa = m.apply(params, ids, encoder_hidden_states=[enc_a, enc_a])
+    out_a = m.apply(params, ids, encoder_hidden_states=enc_a)
+    # [a, a] cycling == plain a; [a, b] differs
+    np.testing.assert_allclose(np.asarray(out_aa), np.asarray(out_a),
+                               atol=1e-5)
+    assert not np.allclose(np.asarray(out_ab), np.asarray(out_a), atol=1e-4)
+
+
+# ------------------------------------------------- attention remat equivalence
+
+def test_attn_remat_grad_equivalence(monkeypatch):
+    from xfm_tpu.ops import attention as A
+
+    q = jax.random.normal(jax.random.PRNGKey(0), (2, 9, 2, 8))
+    k = jax.random.normal(jax.random.PRNGKey(1), (2, 9, 2, 8))
+    v = jax.random.normal(jax.random.PRNGKey(2), (2, 9, 2, 8))
+    bias = jax.random.normal(jax.random.PRNGKey(3), (1, 2, 9, 9))
+
+    def loss(q):
+        return jnp.sum(A.dot_product_attention(q, k, v, bias=bias) ** 2)
+
+    A._attn_remat.cache_clear()
+    monkeypatch.setenv("XFM_ATTN_REMAT", "0")
+    g0 = jax.grad(loss)(q)
+    A._attn_remat.cache_clear()
+    monkeypatch.setenv("XFM_ATTN_REMAT", "1")
+    g1 = jax.grad(loss)(q)
+    A._attn_remat.cache_clear()
+    np.testing.assert_allclose(np.asarray(g0), np.asarray(g1), atol=1e-5)
+
+
+# ------------------------------------------------------- fused vision pair
+
+def test_vision_pair_matches_two_passes():
+    from xfm_tpu.models.beit2 import BeitVisionTransformer, VisionConfig
+
+    cfg = VisionConfig(image_res=32, patch_size=16, embed_dim=32, depth=2,
+                       num_heads=2, drop_path_rate=0.0)
+    m = BeitVisionTransformer(cfg)
+    imgs = jax.random.normal(jax.random.PRNGKey(0), (3, 32, 32, 3))
+    mask = jax.random.bernoulli(jax.random.PRNGKey(1),
+                                0.4, (3, cfg.num_patches))
+    params = m.init(jax.random.PRNGKey(2), imgs)
+    full1 = m.apply(params, imgs)
+    masked1 = m.apply(params, imgs, mask=mask)
+    full2, masked2 = m.apply(params, imgs, mask,
+                             method=BeitVisionTransformer.pair)
+    np.testing.assert_allclose(np.asarray(full1), np.asarray(full2),
+                               atol=1e-5)
+    np.testing.assert_allclose(np.asarray(masked1), np.asarray(masked2),
+                               atol=1e-5)

@@ -1,6 +1,8 @@
-"""Caption evaluation: BLEU-1..4 + CIDEr-D (replacing pycocoevalcap in
-reference dataset/utils.py:368-391 coco_caption_eval and utils/bleu.py).
-METEOR/SPICE need external jars/models; BLEU+CIDEr cover the headline
+"""Caption evaluation: BLEU-1..4 + CIDEr-D + METEOR (replacing pycocoevalcap
+in reference dataset/utils.py:368-391 coco_caption_eval, utils/bleu.py, and
+the meteor-1.5 jar in refTools/evaluation/meteor — see eval/meteor.py for
+the reimplementation notes). SPICE needs a dependency parser + scene-graph
+models and is intentionally not provided; BLEU+CIDEr cover the headline
 numbers."""
 from __future__ import annotations
 
@@ -51,7 +53,10 @@ def bleu(hypos: Dict[str, str], refs: Dict[str, List[str]], max_n: int = 4):
 
 def coco_caption_eval(hypos: Dict[str, str],
                       refs: Dict[str, List[str]]) -> dict:
+    from .meteor import meteor
+
     out = bleu(hypos, refs)
     cider_mean, _ = CiderD(refs).score(hypos)
     out["CIDEr"] = cider_mean
+    out["METEOR"] = meteor(hypos, refs)
     return out

@@ -9,6 +9,7 @@ from .text_encoder import (
 )
 from .beit2 import BeitVisionTransformer, VisionConfig, relative_position_index
 from .clip_vit import ClipVisionTransformer, ClipVisionConfig
+from .deit import DeitVisionTransformer, DeitConfig
 from .xfm import XFMBase, XFMConfig, MLPHead, config_from_yaml
 from .task_models import (
     XFMForPretrain,

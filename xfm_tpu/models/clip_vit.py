@@ -31,6 +31,7 @@ class ClipVisionConfig:
     hidden_act: str = "quick_gelu"
     layer_norm_eps: float = 1e-5
     attention_dropout: float = 0.0
+    local_attn_depth: int = 0  # last-k layers run region-local attention
     dtype: Any = jnp.float32
 
     @property
@@ -101,15 +102,40 @@ class ClipVisionTransformer(nn.Module):
         x = x + self.position_embedding.astype(c.dtype)[None]
         x = self.pre_layrnorm(x)
 
-        bias = None
-        if image_atts is not None and idx_to_group_img is None:
-            bias = mask_to_bias(image_atts)
-        for layer in self.layers:
-            x = layer(x, attn_bias=bias, deterministic=deterministic)
-        x = self.post_layernorm(x)
-
         if idx_to_group_img is None:
-            return x
+            bias = mask_to_bias(image_atts) if image_atts is not None else None
+            for layer in self.layers:
+                x = layer(x, attn_bias=bias, deterministic=deterministic)
+            return self.post_layernorm(x)
+
+        if c.local_attn_depth > 0:
+            # Region mode (reference models/clip_vit.py:240-361): the first
+            # depth-k layers run full attention on the B original images; at
+            # the split, per-region copies are gathered via idx_to_group_img
+            # and the last k layers run with the region patch masks
+            # ([R regions ‖ B full-attention rows] in one batch).
+            split = c.num_hidden_layers - c.local_attn_depth
+            for layer in self.layers[:split]:
+                x = layer(x, attn_bias=None, deterministic=deterministic)
+            xg = jnp.take(x, idx_to_group_img, axis=0)
+            xall = jnp.concatenate([xg, x], axis=0)
+            atts = jnp.concatenate(
+                [image_atts.astype(jnp.float32),
+                 jnp.ones(x.shape[:2], jnp.float32)], axis=0)
+            bias = mask_to_bias(atts)
+            for layer in self.layers[split:]:
+                xall = layer(xall, attn_bias=bias,
+                             deterministic=deterministic)
+            out = self.post_layernorm(xall)
+            R = idx_to_group_img.shape[0]
+            return out[:R], out[R:]
+
+        # local_attn_depth == 0 fallback: full attention throughout, region
+        # readout by masked average pooling (mirrors the BEiT-2 region
+        # readout, reference models/beit2.py:468-475).
+        for layer in self.layers:
+            x = layer(x, attn_bias=None, deterministic=deterministic)
+        x = self.post_layernorm(x)
         xg = jnp.take(x, idx_to_group_img, axis=0)
         w = image_atts.astype(xg.dtype)[..., None]
         pooled = jnp.sum(xg[:, 1:] * w[:, 1:], axis=1, keepdims=True) / \

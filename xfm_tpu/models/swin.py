@@ -108,8 +108,10 @@ class SwinBlock(nn.Module):
         nH = self.num_heads
         D = C // nH
         qkv = nn.Dense(3 * C, name="qkv", dtype=c.dtype)(wins)
-        qkv = qkv.reshape(-1, ws * ws, 3, nH, D)
-        q, k, v = qkv[:, :, 0], qkv[:, :, 1], qkv[:, :, 2]
+        q, k, v = jnp.split(qkv, 3, axis=-1)  # contiguous last-axis slices
+        q = q.reshape(-1, ws * ws, nH, D)
+        k = k.reshape(-1, ws * ws, nH, D)
+        v = v.reshape(-1, ws * ws, nH, D)
 
         table = self.param("relative_position_bias_table",
                            nn.initializers.truncated_normal(0.02),

@@ -8,6 +8,7 @@ keeps the param tree layout identical across tasks (everything under
 """
 from __future__ import annotations
 
+import os
 from typing import Any, Optional
 
 import flax.linen as nn
@@ -84,13 +85,20 @@ class XFMForPretrain(nn.Module):
                 out[k] = zero
             return out
 
+        image_embeds_masked = None
         if ret_bbox:
             image_embeds, image_embeds_fullatts = bb.get_vision_embeds(
                 images, idx_to_group_img=idx_to_group_img,
                 image_atts=image_atts, deterministic=deterministic)
         else:
-            image_embeds = bb.get_vision_embeds(images,
-                                                deterministic=deterministic)
+            if ret_mim and image_mask is not None:
+                # one fused 2B vision pass instead of two B passes
+                image_embeds, image_embeds_masked = \
+                    bb.get_vision_embeds_pair(images, image_mask,
+                                              deterministic=deterministic)
+            else:
+                image_embeds = bb.get_vision_embeds(
+                    images, deterministic=deterministic)
             image_embeds_fullatts = None
             image_atts = jnp.ones(image_embeds.shape[:2], jnp.int32)
 
@@ -102,7 +110,19 @@ class XFMForPretrain(nn.Module):
 
         out["loss_itc"] = (bb.get_contrastive_loss(image_feat, text_feat)
                            if ret_itc and not is_imagenet else zero)
-        if ret_match and not is_imagenet:
+        fuse_fusion = (os.environ.get("XFM_FUSE_FUSION", "0") == "1"
+                       and ret_match and ret_mlm and not is_imagenet
+                       and text_ids_masked is not None)
+        if fuse_fusion:
+            # one 4B-row fusion pass for ITM + fusion-MLM (loss-identical to
+            # the separate passes below; better MXU fill)
+            rng = self.make_rng("hardneg")
+            out["loss_itm"], out["loss_mlm"] = \
+                bb.get_matching_and_fuse_mlm_loss(
+                    rng, image_embeds, image_atts, image_feat, text_ids,
+                    text_atts, text_feat, text_embeds, text_ids_masked,
+                    masked_pos, masked_ids, deterministic=deterministic)
+        elif ret_match and not is_imagenet:
             rng = self.make_rng("hardneg")
             out["loss_itm"] = bb.get_matching_loss(
                 rng, image_embeds, image_atts, image_feat, text_ids,
@@ -110,13 +130,13 @@ class XFMForPretrain(nn.Module):
                 is_pretrain=True, deterministic=deterministic)
         else:
             out["loss_itm"] = zero
-        out["loss_mlm"] = (bb.get_fuse_mlm_loss(
-            text_ids_masked, text_atts, image_embeds, image_atts, masked_pos,
-            masked_ids, deterministic) if ret_mlm and not is_imagenet else zero)
+        if not fuse_fusion:
+            out["loss_mlm"] = (bb.get_fuse_mlm_loss(
+                text_ids_masked, text_atts, image_embeds, image_atts,
+                masked_pos, masked_ids, deterministic)
+                if ret_mlm and not is_imagenet else zero)
 
         if ret_mim and not ret_bbox and image_mask is not None:
-            image_embeds_masked = bb.get_vision_embeds(
-                images, mask=image_mask, deterministic=deterministic)
             out["loss_mim"] = bb.get_mim_loss(image_embeds_masked,
                                               image_embeds, image_mask)
         else:

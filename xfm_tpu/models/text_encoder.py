@@ -260,12 +260,11 @@ class TextTransformer(nn.Module):
         if c.remat:
             # recompute each layer in the backward pass: activation memory
             # drops from O(L) to O(1) layers (trades ~1/3 more FLOPs);
-            # 'dots' keeps weight-stationary matmul outputs instead
-            policy = (jax.checkpoint_policies
-                      .dots_with_no_batch_dims_saveable
-                      if c.remat_policy == "dots" else None)
+            # 'dots'/'except_attn' are selective (see ops.attention.remat_policy)
+            from ..ops.attention import remat_policy
+
             layer_cls = nn.remat(TransformerLayer, static_argnums=(5, 6),
-                                 policy=policy)
+                                 policy=remat_policy(c.remat_policy))
         self.layers = [
             layer_cls(c, has_cross_attention=(i >= c.fusion_layer),
                       name=f"layer_{i}")
@@ -310,8 +309,18 @@ class TextTransformer(nn.Module):
         bias = None
         if attention_mask is not None:
             bias = mask_to_bias(attention_mask)
+        # A list/tuple of encoder states is cycled across cross-attention
+        # layers (reference models/xbert.py:497-507): layer i attends to
+        # states[(i - fusion_layer) % len(states)].
+        enc_list = ebias_list = None
         ebias = None
-        if encoder_hidden_states is not None:
+        if isinstance(encoder_hidden_states, (list, tuple)):
+            enc_list = list(encoder_hidden_states)
+            if encoder_attention_mask is None:
+                encoder_attention_mask = [
+                    jnp.ones(e.shape[:2], jnp.int32) for e in enc_list]
+            ebias_list = [mask_to_bias(m) for m in encoder_attention_mask]
+        elif encoder_hidden_states is not None:
             if encoder_attention_mask is None:
                 encoder_attention_mask = jnp.ones(
                     encoder_hidden_states.shape[:2], jnp.int32)
@@ -328,14 +337,18 @@ class TextTransformer(nn.Module):
         if cross_from_cache:  # only thread when set: remat-wrapped layers
             extra["cross_from_cache"] = True  # must not see extra kwargs
         for i, layer in enumerate(self.layers[lo:hi], start=lo):
+            enc, eb = encoder_hidden_states, ebias
+            if enc_list is not None:
+                j = (i - c.fusion_layer) % len(enc_list)
+                enc, eb = enc_list[j], ebias_list[j]
             gate = cross_gate if (cross_gate is not None
                                   and i == cross_gate_layer) else None
             if gate is not None:
-                x = layer(x, bias, encoder_hidden_states, ebias,
+                x = layer(x, bias, enc, eb,
                           deterministic, decode, cross_prob_gate=gate,
                           **extra)
             else:
-                x = layer(x, bias, encoder_hidden_states, ebias,
+                x = layer(x, bias, enc, eb,
                           deterministic, decode, **extra)
         return x
 

@@ -98,9 +98,25 @@ def config_from_yaml(config: dict, *, use_contrastive_loss=False,
             num_attention_heads=vision_cfg_json.get("num_attention_heads", 12),
             intermediate_size=vision_cfg_json.get("intermediate_size", 3072),
             hidden_act=vision_cfg_json.get("hidden_act", "quick_gelu"),
+            local_attn_depth=vision_cfg_json.get(
+                "local_attn_depth", config.get("local_attn_depth", 0)),
             dtype=dtype,
         )
         backbone = "clip_vit"
+    elif config.get("use_deit", False):
+        # Legacy plain-ViT path: unreachable in the reference (models/xfm.py:
+        # 233-234 raises) but the backbone itself exists (models/vit.py) —
+        # exposed here behind an explicit opt-in key.
+        from .deit import DeitConfig
+
+        vision = DeitConfig(
+            image_res=image_res,
+            patch_size=config.get("patch_size", 16),
+            embed_dim=vision_cfg_json.get("vision_width", 768),
+            depth=vision_cfg_json.get("num_hidden_layers", 12),
+            num_heads=vision_cfg_json.get("num_attention_heads", 12),
+            dtype=dtype)
+        backbone = "deit"
     elif config.get("use_swin", False):
         from .swin import SwinConfig
 
@@ -188,6 +204,10 @@ class XFMBase(nn.Module):
             from .swin import SwinTransformer
 
             self.vision_encoder = SwinTransformer(c.vision)
+        elif c.vision_backbone == "deit":
+            from .deit import DeitVisionTransformer
+
+            self.vision_encoder = DeitVisionTransformer(c.vision)
         else:
             self.vision_encoder = BeitVisionTransformer(c.vision)
         self.text_encoder = TextTransformer(c.text, with_mlm=c.use_mlm_loss)
@@ -243,6 +263,18 @@ class XFMBase(nn.Module):
                                    idx_to_group_img=idx_to_group_img,
                                    image_atts=image_atts,
                                    deterministic=deterministic)
+
+    def get_vision_embeds_pair(self, images, mask, deterministic=True):
+        """(full, MIM-masked) vision embeds of the same images, fused into
+        one 2B-row pass when the vision encoder supports it (BEiT-2).
+        Replaces the reference's two separate vision forwards per pretrain
+        batch (reference models/model_pretrain.py:30-77)."""
+        if hasattr(self.vision_encoder, "pair"):
+            return self.vision_encoder.pair(images, mask,
+                                            deterministic=deterministic)
+        return (self.get_vision_embeds(images, deterministic=deterministic),
+                self.get_vision_embeds(images, mask=mask,
+                                       deterministic=deterministic))
 
     def get_text_embeds(self, text_ids, text_atts, deterministic=True):
         """Text-only pass through the text encoder
@@ -341,6 +373,56 @@ class XFMBase(nn.Module):
         if return_cross_embeds:
             return loss, cross_pos
         return loss
+
+    def get_matching_and_fuse_mlm_loss(self, rng, image_embeds, image_atts,
+                                       image_feat, text_ids, text_atts,
+                                       text_feat, text_embeds,
+                                       text_ids_masked, masked_pos,
+                                       masked_ids, deterministic=True):
+        """ITM (1 pos + 2 hard-neg rows) AND fusion-MLM in ONE 4B-row fusion
+        pass. Loss-identical to get_matching_loss + get_fuse_mlm_loss (the
+        reference runs them as three separate fusion forwards,
+        models/xfm.py:638-656,788-795); batching quadruples the fusion
+        matmuls' M dimension for better MXU fill. Pretrain-only (text embeds
+        into fusion are detached, so the concat adds no backward FLOPs)."""
+        B = text_ids.shape[0]
+        image_neg, text_neg = losses.hard_negative_indices(
+            rng, image_feat, text_feat, self.clamped_temp(), idx=None)
+
+        enc_masked = self.get_text_embeds(text_ids_masked, text_atts,
+                                          deterministic)
+        if self.config.detach_text_forMLM:
+            enc_masked = jax.lax.stop_gradient(enc_masked)
+        text_embeds = jax.lax.stop_gradient(text_embeds)
+
+        # rows: [pos(B) ‖ text_pos×image_neg(B) ‖ text_neg×image_pos(B) ‖ mlm(B)]
+        emb_all = jnp.concatenate(
+            [text_embeds, text_embeds,
+             jnp.take(text_embeds, text_neg, axis=0), enc_masked], 0)
+        atts_all = jnp.concatenate(
+            [text_atts, text_atts,
+             jnp.take(text_atts, text_neg, axis=0), text_atts], 0)
+        img_all = jnp.concatenate(
+            [image_embeds, jnp.take(image_embeds, image_neg, axis=0),
+             image_embeds, image_embeds], 0)
+        iatts_all = jnp.concatenate(
+            [image_atts, jnp.take(image_atts, image_neg, axis=0),
+             image_atts, image_atts], 0)
+
+        hidden = self.fusion_encoder(
+            inputs_embeds=emb_all, attention_mask=atts_all,
+            encoder_hidden_states=img_all, encoder_attention_mask=iatts_all,
+            deterministic=deterministic)
+
+        itm_logits = self.itm_head(hidden[: 3 * B, 0, :])
+        labels = jnp.concatenate([jnp.ones(B, jnp.int32),
+                                  jnp.zeros(2 * B, jnp.int32)])
+        loss_itm = cross_entropy(itm_logits, labels)
+
+        mlm_logits = self.fusion_encoder.mlm_logits(hidden[3 * B:],
+                                                    masked_pos)
+        loss_mlm = cross_entropy(mlm_logits, masked_ids)
+        return loss_itm, loss_mlm
 
     def get_fuse_mlm_loss(self, text_ids_masked, text_atts, image_embeds,
                           image_atts, masked_pos, masked_ids,

@@ -145,6 +145,25 @@ def main(args, config: Optional[dict] = None):
         if is_main_process():
             print(f"### resumed at step {int(state.step)}", flush=True)
 
+    # `text_step_separate: true` replays the reference's exact update order:
+    # the text-MLM stream runs fwd/bwd and takes ITS OWN optimizer step
+    # before the combined multimodal step (reference Pretrain.py:127-133,
+    # 221). Default (False) folds the text loss into the one combined step —
+    # gradient-equivalent modulo optimizer-state interleaving.
+    text_separate = bool(cfg.get("text_step_separate", False)) \
+        and "text" in streams
+
+    def make_text_step():
+        def loss_fn(params, batch, rng):
+            out = model.apply({"params": params}, deterministic=False,
+                              rngs={"hardneg": jax.random.fold_in(rng, 0),
+                                    "dropout": jax.random.fold_in(rng, 1)},
+                              **batch)
+            loss = weights.get("text", 1.0) * sum(out[k] for k in LOSS_KEYS)
+            return loss, {f"text_{k}": out[k] for k in LOSS_KEYS}
+
+        return make_train_step(loss_fn)
+
     def make_step(flags_by_stream):
         def loss_fn(params, batches, rng):
             total = 0.0
@@ -176,10 +195,12 @@ def main(args, config: Optional[dict] = None):
     logger = MetricLogger()
     rng = jax.random.PRNGKey(ctx.seed)
     step_fn = None
+    text_step_fn = make_text_step() if text_separate else None
     flags_sig = None
     t0 = time.time()
     for step in range(int(state.step), max_steps):
-        flags = {name: stream_flags(name, step, cfg) for name in streams}
+        flags = {name: stream_flags(name, step, cfg) for name in streams
+                 if not (text_separate and name == "text")}
         sig = str(sorted(flags.items()))
         if sig != flags_sig:  # stage boundary → rebuild jitted step
             step_fn = make_step(flags)
@@ -193,8 +214,15 @@ def main(args, config: Optional[dict] = None):
             batches[name] = b
         batches = shard_batch(ctx.mesh, batches)
         rng, sub = jax.random.split(rng)
+        metrics = {}
         with ctx.mesh:
-            state, metrics = step_fn(state, batches, sub)
+            if text_separate:
+                rng, tsub = jax.random.split(rng)
+                state, tmetrics = text_step_fn(state, batches.pop("text"),
+                                               tsub)
+                metrics.update(tmetrics)
+            state, smetrics = step_fn(state, batches, sub)
+            metrics.update(smetrics)
         logger.update(**{k: float(v) for k, v in metrics.items()
                          if jnp.ndim(v) == 0})
         if step % cfg.get("print_freq", 50) == 0 and is_main_process():
