@@ -92,3 +92,66 @@ def test_fused_backward_mask_bias():
     for a, b in zip(g_ref, g_fus):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=3e-3,
                                    rtol=1e-2)
+
+
+@pytest.mark.parametrize("bias_shape", [None, "relpos", "mask"])
+def test_fused_backward_matches_xla(bias_shape):
+    B, N, H, D = 2, 21, 3, 16
+    q = rand((B, N, H, D), 0)
+    k = rand((B, N, H, D), 1)
+    v = rand((B, N, H, D), 2)
+    bias = None
+    if bias_shape == "relpos":
+        bias = rand((1, H, N, N), 3)
+    elif bias_shape == "mask":
+        bias = rand((B, 1, 1, N), 3)
+    scale = D ** -0.5
+
+    def loss_flash(q, k, v, bias):
+        return jnp.sum(flash_attention(q, k, v, bias, scale, True) ** 2)
+
+    def loss_ref(q, k, v, bias):
+        return jnp.sum(_xla_reference(q, k, v, bias, scale) ** 2)
+
+    args = (q, k, v) + ((bias,) if bias is not None else (None,))
+    gf = jax.grad(loss_flash, argnums=(0, 1, 2) + ((3,) if bias is not None
+                                                   else ()))(*args)
+    gr = jax.grad(loss_ref, argnums=(0, 1, 2) + ((3,) if bias is not None
+                                                 else ()))(*args)
+    for a, b in zip(gf, gr):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=5e-3,
+                                   rtol=1e-2)
+
+
+def test_packed_matches_xla_fwd_bwd():
+    from xfm_tpu.ops.flash_attention import (_packed_fwd_impl,
+                                             _packed_bwd_impl)
+
+    B, N, H, D = 2, 21, 4, 16  # hpb = 8 heads/window? 128//16=8>H → hpb caps
+    # use D=32, H=4 → hpb=4, C=128 (one lane window)
+    B, N, H, D = 2, 21, 4, 32
+    C = H * D
+    qkv = rand((B, N, 3 * C), 0)
+    bias = rand((1, H, N, N), 3)
+    scale = D ** -0.5
+
+    q, k, v = [t.reshape(B, N, H, D) for t in jnp.split(qkv, 3, axis=-1)]
+    ref = _xla_reference(q, k, v, bias, scale).reshape(B, N, C)
+    out = _packed_fwd_impl(qkv, bias, scale, H, interpret=True)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=2e-3,
+                               rtol=1e-2)
+
+    g = rand((B, N, C), 7)
+
+    def loss_ref(qkv, bias):
+        q, k, v = [t.reshape(B, N, H, D)
+                   for t in jnp.split(qkv, 3, axis=-1)]
+        o = _xla_reference(q, k, v, bias, scale).reshape(B, N, C)
+        return jnp.sum(o * g)
+
+    dq_ref, db_ref = jax.grad(loss_ref, argnums=(0, 1))(qkv, bias)
+    dqkv, db = _packed_bwd_impl(qkv, bias, scale, H, g, interpret=True)
+    np.testing.assert_allclose(np.asarray(dqkv), np.asarray(dq_ref),
+                               atol=5e-3, rtol=1e-2)
+    np.testing.assert_allclose(np.asarray(db), np.asarray(db_ref),
+                               atol=5e-3, rtol=1e-2)

@@ -172,3 +172,28 @@ def test_vision_pair_matches_two_passes():
                                atol=1e-5)
     np.testing.assert_allclose(np.asarray(masked1), np.asarray(masked2),
                                atol=1e-5)
+
+
+def test_beit_local_attn_region_mode():
+    from xfm_tpu.models.beit2 import BeitVisionTransformer, VisionConfig
+
+    cfg = VisionConfig(image_res=32, patch_size=16, embed_dim=32, depth=3,
+                       num_heads=2, drop_path_rate=0.0, local_attn_depth=2)
+    m = BeitVisionTransformer(cfg)
+    imgs = jax.random.normal(jax.random.PRNGKey(0), (2, 32, 32, 3))
+    params = m.init(jax.random.PRNGKey(1), imgs)
+
+    idx = jnp.asarray([0, 0, 1], jnp.int32)
+    N = 1 + cfg.num_patches
+    atts = np.ones((3, N), np.float32)
+    atts[0, 3:] = 0.0
+    region, full = m.apply(params, imgs, idx_to_group_img=idx,
+                           image_atts=jnp.asarray(atts))
+    assert region.shape == (3, N, 32)
+    assert full.shape == (2, N, 32)
+    # full-attention region row equals the full row of its source image
+    np.testing.assert_allclose(np.asarray(region[2]), np.asarray(full[1]),
+                               atol=1e-5)
+    # masked region differs from the full row
+    assert not np.allclose(np.asarray(region[0]), np.asarray(full[0]),
+                           atol=1e-4)

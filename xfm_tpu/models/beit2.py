@@ -52,6 +52,7 @@ class VisionConfig:
     use_shared_rel_pos_bias: bool = False
     use_abs_pos_emb: bool = False
     use_mean_pooling: bool = True
+    local_attn_depth: int = -1      # >0: last-k blocks run region attention
     drop_rate: float = 0.0
     attn_drop_rate: float = 0.0
     drop_path_rate: float = 0.1
@@ -133,14 +134,6 @@ class BeitAttention(nn.Module):
             v_bias = self.param("v_bias", nn.initializers.zeros, (C,))
             bias = jnp.concatenate([q_bias, jnp.zeros_like(q_bias), v_bias])
             qkv = qkv + bias.astype(qkv.dtype)
-        # split on the (contiguous) last axis — profiling showed the
-        # [B,N,3,H,D]-then-slice-dim-2 form costs ~18 ms/step in layout-copy
-        # fusions at B=48 (strided gathers); last-axis slices are free views
-        q, k, v = jnp.split(qkv, 3, axis=-1)
-        q = q.reshape(B, N, H, D)
-        k = k.reshape(B, N, H, D)
-        v = v.reshape(B, N, H, D)
-
         if c.use_rel_pos_bias:
             window = (c.grid_size, c.grid_size)
             table = self.param(
@@ -155,13 +148,29 @@ class BeitAttention(nn.Module):
         if attn_bias is not None:
             bias = attn_bias if bias is None else bias + attn_bias
 
-        drop_rng = None
-        if not deterministic and c.attn_drop_rate > 0:
-            drop_rng = self.make_rng("dropout")
-        out = dot_product_attention(
-            q, k, v, bias=bias, dropout_rate=c.attn_drop_rate,
-            dropout_rng=drop_rng, deterministic=deterministic)
-        out = out.reshape(B, N, C)
+        from ..ops.flash_attention import (flash_attention_packed,
+                                           packed_ok)
+
+        if ((deterministic or c.attn_drop_rate == 0.0) and bias is not None
+                and packed_ok(qkv.shape, H, bias, qkv.dtype)):
+            # fused Pallas path straight off the packed qkv projection —
+            # no HBM splits/transposes, bias block VMEM-resident (PERF.md)
+            out = flash_attention_packed(qkv, bias, D ** -0.5, H)
+        else:
+            # split on the (contiguous) last axis — profiling showed the
+            # [B,N,3,H,D]-then-slice-dim-2 form costs ~18 ms/step in
+            # layout-copy fusions at B=48; last-axis slices are free views
+            q, k, v = jnp.split(qkv, 3, axis=-1)
+            q = q.reshape(B, N, H, D)
+            k = k.reshape(B, N, H, D)
+            v = v.reshape(B, N, H, D)
+            drop_rng = None
+            if not deterministic and c.attn_drop_rate > 0:
+                drop_rng = self.make_rng("dropout")
+            out = dot_product_attention(
+                q, k, v, bias=bias, dropout_rate=c.attn_drop_rate,
+                dropout_rng=drop_rng, deterministic=deterministic)
+            out = out.reshape(B, N, C)
         out = nn.Dense(C, name="proj", dtype=c.dtype)(out)
         out = nn.Dropout(c.drop_rate)(out, deterministic=deterministic)
         return out
@@ -280,13 +289,7 @@ class BeitVisionTransformer(nn.Module):
     def _encode(self, x, deterministic=True):
         """Run the block stack + avgpool readout over embedded tokens."""
         c = self.config
-        shared_rpb = None
-        if c.use_shared_rel_pos_bias:
-            N = x.shape[1]
-            idx = relative_position_index((c.grid_size, c.grid_size))
-            rpb = self.shared_rel_pos_table[idx.reshape(-1)]
-            rpb = rpb.reshape(N, N, c.num_heads)
-            shared_rpb = jnp.transpose(rpb, (2, 0, 1))[None]
+        shared_rpb = self._shared_rpb(x.shape[1])
 
         for blk in self.blocks:
             x = blk(x, shared_rpb, None, deterministic)
@@ -318,8 +321,51 @@ class BeitVisionTransformer(nn.Module):
         B = images.shape[0]
         return full[:B], full[B:]
 
+    def _shared_rpb(self, n_tokens):
+        c = self.config
+        if not c.use_shared_rel_pos_bias:
+            return None
+        idx = relative_position_index((c.grid_size, c.grid_size))
+        rpb = self.shared_rel_pos_table[idx.reshape(-1)]
+        rpb = rpb.reshape(n_tokens, n_tokens, c.num_heads)
+        return jnp.transpose(rpb, (2, 0, 1))[None]
+
+    def forward_localattn(self, images, idx_to_group_img, image_atts,
+                          deterministic=True):
+        """Region mode for local_attn_depth > 0 (reference
+        models/beit2.py:373-419): the first depth-k blocks run full attention
+        on the B images; per-region copies are then gathered via
+        idx_to_group_img and the last k blocks run with the region patch
+        masks ([R regions ‖ B full rows] in one batch). Readout keeps the
+        raw token rows (fc_norm only — no avgpool/cls-drop restructuring).
+        Returns (region_rows [R,1+N,C], full_rows [B,1+N,C])."""
+        c = self.config
+        x = self._add_cls(self._patch_tokens(images))
+        shared_rpb = self._shared_rpb(x.shape[1])
+        split = c.depth - c.local_attn_depth
+        for blk in self.blocks[:split]:
+            x = blk(x, shared_rpb, None, deterministic)
+        xg = jnp.take(x, idx_to_group_img, axis=0)
+        xall = jnp.concatenate([xg, x], axis=0)
+        from ..ops.attention import mask_to_bias
+
+        atts_blk = jnp.concatenate(
+            [image_atts.astype(jnp.float32),
+             jnp.ones(x.shape[:2], jnp.float32)], axis=0)
+        bias = mask_to_bias(atts_blk)
+        for blk in self.blocks[split:]:
+            xall = blk(xall, shared_rpb, bias, deterministic)
+        norm = self.fc_norm if c.use_mean_pooling else self.final_norm
+        out = norm(xall)
+        R = idx_to_group_img.shape[0]
+        return out[:R], out[R:]
+
     def __call__(self, images, mask=None, idx_to_group_img=None,
                  image_atts=None, deterministic=True):
+        c = self.config
+        if idx_to_group_img is not None and c.local_attn_depth > 0:
+            return self.forward_localattn(images, idx_to_group_img,
+                                          image_atts, deterministic)
         x = self.embed(images, mask, deterministic)
         full, patches = self._encode(x, deterministic)
 

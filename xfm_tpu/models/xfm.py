@@ -136,6 +136,7 @@ def config_from_yaml(config: dict, *, use_contrastive_loss=False,
                        use_rel_pos_bias=True, use_abs_pos_emb=False,
                        init_values=0.1, qkv_bias=True,
                        use_mean_pooling=True, dtype=dtype,
+                       local_attn_depth=config.get("local_attn_depth", -1),
                        remat=config.get("gradient_checkpointing", False))
         vision = (VisionConfig.beit_large(**base_kw) if large
                   else VisionConfig.beit_base(**base_kw))

@@ -4,22 +4,26 @@ Replaces the unfused softmax(QK^T + bias)V chain of the reference
 (reference models/beit2.py:136-160, models/xbert.py:296-341) with a single
 VMEM-resident kernel.
 
-Design notes (TPU-first):
+Design notes (TPU-first; v4 after profiling the v1-v3 kernels):
 - X-FM sequence lengths are small (≤30-128 text tokens, ≤901 image patches +
   cls; reference configs/xfm-pt/Pretrain_XBrain_base_4m.yaml:88-89 and
-  configs/xfm-ft/VQA.yaml:18). At these sizes the whole K/V for one (batch,
-  head) fits comfortably in VMEM, so we use a *one-pass* fused kernel blocked
-  over queries — strictly less work than online-softmax flash attention, same
-  memory behavior (the [q, k] score tile never leaves VMEM).
-- `bias` is an additive term with broadcastable shape [1|B, 1|H, 1|Nq, Nk]:
-  the BEiT-2 relative-position bias arrives as [1, H, N, N], padding masks as
-  [B, 1, 1, Nk]. Broadcasting is handled in the BlockSpec index maps so the
-  full [B, H, Nq, Nk] bias is never materialized in HBM.
-- Head dim (64 for XFM-base) is zero-padded to the 128-lane width; zero
-  padding is exact for QK^T and for the output columns we slice away.
-- Backward: custom_vjp recomputes attention with the XLA path and
-  differentiates through it (rematerialization — trades FLOPs for HBM, the
-  right trade on TPU).
+  configs/xfm-ft/VQA.yaml:18). The whole K/V for one (batch, head) fits in
+  VMEM, so this is a *one-pass* kernel blocked over queries — strictly less
+  work than online-softmax flash attention, same memory behavior.
+- `bias` is additive with broadcastable shape [1|B, 1|H, 1|Nq, Nk]: BEiT-2
+  rel-pos bias arrives [1, H, N, N], padding masks [B, 1, 1, Nk]. The full
+  [B, H, Nq, Nk] bias is never materialized. **Grid order is (H, iq, B)** —
+  batch innermost — so the bias block's index map is constant along the
+  B sweep and Mosaic keeps it VMEM-resident instead of re-DMAing ~200 KB per
+  (b, h) cell (the v1-v3 kernels' dominant cost: ~236 MB of bias DMA per
+  layer at B=96).
+- q/k/v are read and outputs written **directly in [B, N, H, D] layout** via
+  unit-dim BlockSpecs — no HBM transposes around the kernel.
+- Head dim (64 for XFM-base) stays unpadded: zero-padding 64→128 doubles
+  MXU cycles for QK^T and PV (measured v1 regression).
+- Backward: one-pass kernel recomputing P in VMEM; dbias is reduced to the
+  bias' own broadcast shape in-kernel (v3 wrote [B,H,N,N] dS to HBM and the
+  write dominated).
 """
 from __future__ import annotations
 
@@ -44,47 +48,6 @@ def _round_up(x: int, m: int) -> int:
     return (x + m - 1) // m * m
 
 
-def _attn_kernel(q_ref, k_ref, v_ref, o_ref, *, scale, nk_valid, blk_q):
-    q = q_ref[0, 0].astype(jnp.float32) * scale          # [blk_q, Dp]
-    k = k_ref[0, 0]                                       # [Nkp, Dp]
-    s = jax.lax.dot_general(
-        q.astype(k.dtype), k,
-        dimension_numbers=(((1,), (1,)), ((), ())),
-        preferred_element_type=jnp.float32,
-    )                                                     # [blk_q, Nkp]
-    s = _mask_pad(s, nk_valid)
-    p = _softmax(s)
-    v = v_ref[0, 0]                                       # [Nkp, Dp]
-    o = jax.lax.dot_general(
-        p.astype(v.dtype), v,
-        dimension_numbers=(((1,), (0,)), ((), ())),
-        preferred_element_type=jnp.float32,
-    )
-    o_ref[0, 0] = o.astype(o_ref.dtype)
-
-
-def _attn_kernel_bias(q_ref, k_ref, v_ref, b_ref, o_ref, *, scale, nk_valid,
-                      blk_q):
-    q = q_ref[0, 0].astype(jnp.float32) * scale
-    k = k_ref[0, 0]
-    s = jax.lax.dot_general(
-        q.astype(k.dtype), k,
-        dimension_numbers=(((1,), (1,)), ((), ())),
-        preferred_element_type=jnp.float32,
-    )
-    b = b_ref[0, 0].astype(jnp.float32)                   # [blk_q | 1, Nkp]
-    s = s + b  # broadcasts if bias q-dim is 1
-    s = _mask_pad(s, nk_valid)
-    p = _softmax(s)
-    v = v_ref[0, 0]
-    o = jax.lax.dot_general(
-        p.astype(v.dtype), v,
-        dimension_numbers=(((1,), (0,)), ((), ())),
-        preferred_element_type=jnp.float32,
-    )
-    o_ref[0, 0] = o.astype(o_ref.dtype)
-
-
 def _mask_pad(s, nk_valid):
     nkp = s.shape[-1]
     if nk_valid == nkp:
@@ -99,75 +62,155 @@ def _softmax(s):
     return e / jnp.sum(e, axis=-1, keepdims=True)
 
 
+def _sq(ref):
+    """Load a (1, 1, n, d) block as [n, d]."""
+    return ref[0, 0]
+
+
+def _attn_fwd_kernel(q_ref, k_ref, v_ref, o_ref, *, scale, nk_valid,
+                     bias_ref=None):
+    q = _sq(q_ref).astype(jnp.float32) * scale            # [blk_q, D]
+    k = _sq(k_ref)                                        # [Nkp, D]
+    s = jax.lax.dot_general(
+        q.astype(k.dtype), k,
+        dimension_numbers=(((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )                                                     # [blk_q, Nkp]
+    if bias_ref is not None:
+        s = s + bias_ref[0, 0].astype(jnp.float32)        # broadcasts on q
+    s = _mask_pad(s, nk_valid)
+    p = _softmax(s)
+    v = _sq(v_ref)                                        # [Nkp, D]
+    o = jax.lax.dot_general(
+        p.astype(v.dtype), v,
+        dimension_numbers=(((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+    o_ref[0, 0] = o.astype(o_ref.dtype)
+
+
+def _prep(x, n, npad):
+    """[B, N, H, D] → [B, H, Npad, D] (transpose + zero-pad N; D unpadded —
+    64-lane tiles are native, padding to 128 doubles MXU work)."""
+    x = jnp.swapaxes(x, 1, 2)
+    return jnp.pad(x, ((0, 0), (0, 0), (0, npad - n), (0, 0)))
+
+
+def _bias_prep(bias, Nqp, Nkp, Nk):
+    bb, bh, bq, _ = bias.shape
+    return jnp.pad(bias, ((0, 0), (0, 0), (0, (Nqp - bq) if bq > 1 else 0),
+                          (0, Nkp - Nk)), constant_values=NEG_INF)
+
+
+def _grid_order(bias):
+    """Grid axis order, chosen so the axes the dbias accumulation (and the
+    bias block's VMEM residency) need are innermost:
+
+    - rel-pos bias [1,H,*,N] (or no bias): batch innermost — the per-head
+      bias block stays resident across the whole B sweep, and db sums over b;
+    - padding-mask bias [B,1,1,N]: heads innermost — db sums over h.
+    Returns 'b_inner' or 'h_inner'."""
+    if bias is not None and bias.shape[0] > 1 and bias.shape[1] == 1:
+        return "h_inner"
+    return "b_inner"
+
+
+def _axes(order):
+    """(grid_builder, to_bhi) where grid = (outer, i, inner) and to_bhi maps
+    grid coords → (b, h, i)."""
+    if order == "b_inner":
+        return (lambda H, ni, B: (H, ni, B)), (lambda a0, i, a2: (a2, a0, i))
+    return (lambda H, ni, B: (B, ni, H)), (lambda a0, i, a2: (a0, a2, i))
+
+
+def _bias_spec(bias, blk_q, Nkp, order):
+    bb, bh, bq, _ = bias.shape
+    bqs = blk_q if bq > 1 else 1
+    _, to_bhi = _axes(order)
+
+    def bmap(a0, i, a2, _bb=bb, _bh=bh, _bq=bq):
+        b, h, i = to_bhi(a0, i, a2)
+        return (b if _bb > 1 else 0, h if _bh > 1 else 0,
+                i if _bq > 1 else 0, 0)
+
+    return pl.BlockSpec((1, 1, bqs, Nkp), bmap)
+
+
 def _fused_attention_fwd_impl(q, k, v, bias, scale, interpret=False):
     B, Nq, H, D = q.shape
     Nk = k.shape[1]
-    blk_q = min(256, _round_up(Nq, 8))
+    sub = 16 if q.dtype == jnp.bfloat16 else 8
+    blk_q = min(512, _round_up(Nq, sub))
     Nqp = _round_up(Nq, blk_q)
     Nkp = _round_up(Nk, 128)
-    # Keep the head dim unpadded when it is sublane-aligned: zero-padding
-    # 64→128 doubles MXU cycles for both QK^T (contraction depth) and PV
-    # (output columns). Mosaic handles 64-lane tiles natively.
-    Dp = D if D % 8 == 0 else _round_up(D, 128)
 
-    # [B, H, N, D] layout with zero padding.
-    def prep(x, n, npad):
-        x = jnp.swapaxes(x, 1, 2)
-        return jnp.pad(x, ((0, 0), (0, 0), (0, npad - n), (0, Dp - D)))
+    qp = _prep(q, Nq, Nqp)
+    kp = _prep(k, Nk, Nkp)
+    vp = _prep(v, Nk, Nkp)
 
-    qp = prep(q, Nq, Nqp)
-    kp = prep(k, Nk, Nkp)
-    vp = prep(v, Nk, Nkp)
+    order = _grid_order(bias)
+    grid_of, to_bhi = _axes(order)
+    grid = grid_of(H, Nqp // blk_q, B)
 
-    grid = (B, H, Nqp // blk_q)
-    qspec = pl.BlockSpec((1, 1, blk_q, Dp), lambda b, h, i: (b, h, i, 0))
-    kvspec = pl.BlockSpec((1, 1, Nkp, Dp), lambda b, h, i: (b, h, 0, 0))
-    ospec = pl.BlockSpec((1, 1, blk_q, Dp), lambda b, h, i: (b, h, i, 0))
+    def qmap(a0, i, a2):
+        b, h, i = to_bhi(a0, i, a2)
+        return (b, h, i, 0)
+
+    def kvmap(a0, i, a2):
+        b, h, _ = to_bhi(a0, i, a2)
+        return (b, h, 0, 0)
+
+    qspec = pl.BlockSpec((1, 1, blk_q, D), qmap)
+    kvspec = pl.BlockSpec((1, 1, Nkp, D), kvmap)
+    ospec = pl.BlockSpec((1, 1, blk_q, D), qmap)
 
     if bias is not None:
-        bb, bh, bq, _ = bias.shape
-        bias = jnp.pad(bias, ((0, 0), (0, 0), (0, (Nqp - bq) if bq > 1 else 0),
-                              (0, Nkp - Nk)), constant_values=NEG_INF)
-        bqs = blk_q if bq > 1 else 1
+        bias_p = _bias_prep(bias, Nqp, Nkp, Nk)
 
-        def bmap(b, h, i, _bb=bb, _bh=bh, _bq=bq):
-            return (b if _bb > 1 else 0, h if _bh > 1 else 0,
-                    i if _bq > 1 else 0, 0)
+        def kernel_bias(q_ref, k_ref, v_ref, b_ref, o_ref):
+            _attn_fwd_kernel(q_ref, k_ref, v_ref, o_ref, scale=scale,
+                             nk_valid=Nk, bias_ref=b_ref)
 
-        bspec = pl.BlockSpec((1, 1, bqs, Nkp), bmap)
-        kernel = functools.partial(_attn_kernel_bias, scale=scale,
-                                   nk_valid=Nk, blk_q=blk_q)
-        in_specs = [qspec, kvspec, kvspec, bspec]
-        args = (qp, kp, vp, bias)
+        in_specs = [qspec, kvspec, kvspec,
+                    _bias_spec(bias, blk_q, Nkp, order)]
+        out = pl.pallas_call(
+            kernel_bias,
+            grid=grid,
+            in_specs=in_specs,
+            out_specs=ospec,
+            out_shape=jax.ShapeDtypeStruct((B, H, Nqp, D), q.dtype),
+            interpret=interpret,
+        )(qp, kp, vp, bias_p)
     else:
-        kernel = functools.partial(_attn_kernel, scale=scale, nk_valid=Nk,
-                                   blk_q=blk_q)
-        in_specs = [qspec, kvspec, kvspec]
-        args = (qp, kp, vp)
-
-    out = pl.pallas_call(
-        kernel,
-        grid=grid,
-        in_specs=in_specs,
-        out_specs=ospec,
-        out_shape=jax.ShapeDtypeStruct((B, H, Nqp, Dp), q.dtype),
-        interpret=interpret,
-    )(*args)
-    return jnp.swapaxes(out[:, :, :Nq, :D], 1, 2)
+        kernel = functools.partial(_attn_fwd_kernel, scale=scale,
+                                   nk_valid=Nk)
+        out = pl.pallas_call(
+            kernel,
+            grid=grid,
+            in_specs=[qspec, kvspec, kvspec],
+            out_specs=ospec,
+            out_shape=jax.ShapeDtypeStruct((B, H, Nqp, D), q.dtype),
+            interpret=interpret,
+        )(qp, kp, vp)
+    return jnp.swapaxes(out[:, :, :Nq], 1, 2)
 
 
 def _attn_bwd_kernel(q_ref, k_ref, v_ref, do_ref, dq_ref, dk_ref, dv_ref,
-                     *, scale, nk_valid, has_bias, bias_ref=None,
-                     db_ref=None, db_acc_b=False, db_acc_h=False,
-                     db_q_full=True):
-    """One-pass attention backward for one (b, h, q-block): recomputes
+                     *, scale, nk_valid, has_bias,
+                     bias_ref=None, db_ref=None, db_accumulate=False,
+                     db_init_axis0=False, db_q_full=True):
+    """One-pass attention backward for one (h, q-block, b): recomputes
     P = softmax(QK^T·scale + bias) in VMEM, then
     dV = P^T dO; dP = dO V^T; dS = P ⊙ (dP − rowsum(P⊙dP));
-    dQ = dS·K·scale; dK = dS^T·Q·scale; dB = dS."""
-    q = q_ref[0, 0]
-    k = k_ref[0, 0]
-    v = v_ref[0, 0]
-    do = do_ref[0, 0].astype(jnp.float32)
+    dQ = dS·K·scale; dK = dS^T·(Q·scale); dB = dS (reduced to bias shape).
+
+    Single q-block per (b, h) assumed (X-FM sequences ≤ 901 tokens): dk/dv
+    are written once, db accumulates along the innermost B sweep while its
+    block stays VMEM-resident."""
+    q = _sq(q_ref)
+    k = _sq(k_ref)
+    v = _sq(v_ref)
+    do = _sq(do_ref).astype(jnp.float32)
 
     qs = (q.astype(jnp.float32) * scale).astype(q.dtype)
     s = jax.lax.dot_general(qs, k, (((1,), (1,)), ((), ())),
@@ -177,43 +220,34 @@ def _attn_bwd_kernel(q_ref, k_ref, v_ref, do_ref, dq_ref, dk_ref, dv_ref,
     s = _mask_pad(s, nk_valid)
     p = _softmax(s)                                       # [blk_q, Nkp] f32
 
-    dv = jax.lax.dot_general(p, do, (((0,), (0,)), ((), ())),
+    pb = p.astype(do_ref.dtype)
+    dv = jax.lax.dot_general(pb, do.astype(pb.dtype),
+                             (((0,), (0,)), ((), ())),
                              preferred_element_type=jnp.float32)
     dp = jax.lax.dot_general(do.astype(v.dtype), v,
                              (((1,), (1,)), ((), ())),
                              preferred_element_type=jnp.float32)
     ds = p * (dp - jnp.sum(p * dp, axis=-1, keepdims=True))  # [blk_q, Nkp]
-    dq = jax.lax.dot_general(ds.astype(k.dtype), k,
-                             (((1,), (0,)), ((), ())),
+    dsb = ds.astype(k.dtype)
+    dq = jax.lax.dot_general(dsb, k, (((1,), (0,)), ((), ())),
                              preferred_element_type=jnp.float32) * scale
-    dk = jax.lax.dot_general(ds.astype(q.dtype), qs,
-                             (((0,), (0,)), ((), ())),
+    dk = jax.lax.dot_general(dsb, qs, (((0,), (0,)), ((), ())),
                              preferred_element_type=jnp.float32)
 
     dq_ref[0, 0] = dq.astype(dq_ref.dtype)
-    # dk/dv accumulate across q-blocks (grid iterates iq sequentially)
-    iq = pl.program_id(2)
+    dk_ref[0, 0] = dk.astype(dk_ref.dtype)
+    dv_ref[0, 0] = dv.astype(dv_ref.dtype)
 
-    @pl.when(iq == 0)
-    def _():
-        dk_ref[0, 0] = jnp.zeros_like(dk_ref[0, 0])
-        dv_ref[0, 0] = jnp.zeros_like(dv_ref[0, 0])
-
-    dk_ref[0, 0] += dk.astype(dk_ref.dtype)
-    dv_ref[0, 0] += dv.astype(dv_ref.dtype)
     if has_bias and db_ref is not None:
-        # db reduced to the bias' broadcast shape *inside* the kernel —
-        # writing the full [B,H,Nq,Nk] dS to HBM dominated the backward.
-        b_axis, h_axis = pl.program_id(0), pl.program_id(1)
         contrib = ds if db_q_full else jnp.sum(ds, axis=0, keepdims=True)
-        init = jnp.asarray(True)
-        if db_acc_b:
-            init = jnp.logical_and(init, b_axis == 0)
-        if db_acc_h:
-            init = jnp.logical_and(init, h_axis == 0)
-        if not db_q_full:
-            init = jnp.logical_and(init, iq == 0)
-        if db_acc_b or db_acc_h or not db_q_full:
+        if db_accumulate:
+            # db block stays VMEM-resident along the innermost grid axis
+            # (and, for fully-broadcast bias, the outer axis too): init on
+            # first visit, accumulate after.
+            init = pl.program_id(2) == 0
+            if db_init_axis0:
+                init = jnp.logical_and(init, pl.program_id(0) == 0)
+
             @pl.when(init)
             def _():
                 db_ref[0, 0] = jnp.zeros_like(db_ref[0, 0])
@@ -224,63 +258,65 @@ def _attn_bwd_kernel(q_ref, k_ref, v_ref, do_ref, dq_ref, dk_ref, dv_ref,
 
 
 def _fused_attention_bwd_impl(q, k, v, bias, scale, g, interpret=False):
-    """→ (dq, dk, dv, db_full) with db_full of shape [B, H, Nq, Nk] (caller
-    reduces broadcast dims). Layout mirrors the forward."""
+    """→ (dq, dk, dv, db) with db already reduced to the bias' broadcast
+    shape (padded cols trimmed). Layout mirrors the forward."""
     B, Nq, H, D = q.shape
     Nk = k.shape[1]
-    blk_q = min(256, _round_up(Nq, 8))
-    Nqp = _round_up(Nq, blk_q)
+    sub = 16 if q.dtype == jnp.bfloat16 else 8
+    blk_q = _round_up(Nq, sub)  # single q-block (small-seq regime)
+    Nqp = blk_q
     Nkp = _round_up(Nk, 128)
-    Dp = D if D % 8 == 0 else _round_up(D, 128)
 
-    def prep(x, n, npad):
-        x = jnp.swapaxes(x, 1, 2)
-        return jnp.pad(x, ((0, 0), (0, 0), (0, npad - n), (0, Dp - D)))
+    qp = _prep(q, Nq, Nqp)
+    kp = _prep(k, Nk, Nkp)
+    vp = _prep(v, Nk, Nkp)
+    gp = _prep(g, Nq, Nqp)
 
-    qp, kp, vp = prep(q, Nq, Nqp), prep(k, Nk, Nkp), prep(v, Nk, Nkp)
-    gp = prep(g, Nq, Nqp)
+    order = _grid_order(bias)
+    grid_of, to_bhi = _axes(order)
+    grid = grid_of(H, 1, B)
 
-    grid = (B, H, Nqp // blk_q)
-    qspec = pl.BlockSpec((1, 1, blk_q, Dp), lambda b, h, i: (b, h, i, 0))
-    kvspec = pl.BlockSpec((1, 1, Nkp, Dp), lambda b, h, i: (b, h, 0, 0))
+    def qmap(a0, i, a2):
+        b, h, i = to_bhi(a0, i, a2)
+        return (b, h, i, 0)
+
+    def kvmap(a0, i, a2):
+        b, h, _ = to_bhi(a0, i, a2)
+        return (b, h, 0, 0)
+
+    qspec = pl.BlockSpec((1, 1, blk_q, D), qmap)
+    kvspec = pl.BlockSpec((1, 1, Nkp, D), kvmap)
 
     out_shapes = [
-        jax.ShapeDtypeStruct((B, H, Nqp, Dp), jnp.float32),  # dq
-        jax.ShapeDtypeStruct((B, H, Nkp, Dp), jnp.float32),  # dk
-        jax.ShapeDtypeStruct((B, H, Nkp, Dp), jnp.float32),  # dv
+        jax.ShapeDtypeStruct((B, H, Nqp, D), jnp.float32),  # dq
+        jax.ShapeDtypeStruct((B, H, Nkp, D), jnp.float32),  # dk
+        jax.ShapeDtypeStruct((B, H, Nkp, D), jnp.float32),  # dv
     ]
     out_specs = [qspec, kvspec, kvspec]
 
     has_bias = bias is not None
     if has_bias:
         bb, bh, bq, _ = bias.shape
-        bias_p = jnp.pad(bias, ((0, 0), (0, 0),
-                                (0, (Nqp - bq) if bq > 1 else 0),
-                                (0, Nkp - Nk)), constant_values=NEG_INF)
-        bqs = blk_q if bq > 1 else 1
-
-        def bmap(b, h, i, _bb=bb, _bh=bh, _bq=bq):
-            return (b if _bb > 1 else 0, h if _bh > 1 else 0,
-                    i if _bq > 1 else 0, 0)
-
-        bspec = pl.BlockSpec((1, 1, bqs, Nkp), bmap)
+        bias_p = _bias_prep(bias, Nqp, Nkp, Nk)
+        bspec = _bias_spec(bias, blk_q, Nkp, order)
         in_specs = [qspec, kvspec, kvspec, qspec, bspec]
         args = (qp, kp, vp, gp, bias_p)
-        # db in the bias' own broadcast shape, reduced in-kernel
         db_B = bb if bb > 1 else 1
         db_H = bh if bh > 1 else 1
         db_Q = Nqp if bq > 1 else 1
         out_shapes.append(
             jax.ShapeDtypeStruct((db_B, db_H, db_Q, Nkp), jnp.float32))
-        out_specs.append(pl.BlockSpec((1, 1, bqs, Nkp), bmap))
+        out_specs.append(bspec)
 
         def kernel(q_ref, k_ref, v_ref, do_ref, bias_ref, dq_ref, dk_ref,
                    dv_ref, db_ref):
             _attn_bwd_kernel(q_ref, k_ref, v_ref, do_ref, dq_ref, dk_ref,
                              dv_ref, scale=scale, nk_valid=Nk,
                              has_bias=True, bias_ref=bias_ref,
-                             db_ref=db_ref, db_acc_b=(bb == 1),
-                             db_acc_h=(bh == 1), db_q_full=(bq > 1))
+                             db_ref=db_ref,
+                             db_accumulate=(bb == 1 or bh == 1),
+                             db_init_axis0=(bb == 1 and bh == 1),
+                             db_q_full=(bq > 1))
     else:
         in_specs = [qspec, kvspec, kvspec, qspec]
         args = (qp, kp, vp, gp)
@@ -300,7 +336,7 @@ def _fused_attention_bwd_impl(q, k, v, bias, scale, g, interpret=False):
     )(*args)
 
     def unprep(x, n):
-        return jnp.swapaxes(x[:, :, :n, :D], 1, 2)
+        return jnp.swapaxes(x[:, :, :n], 1, 2)
 
     dq = unprep(outs[0], Nq).astype(q.dtype)
     dk = unprep(outs[1], Nk).astype(k.dtype)
@@ -310,6 +346,253 @@ def _fused_attention_bwd_impl(q, k, v, bias, scale, g, interpret=False):
         bq = bias.shape[2]
         db = outs[3][:, :, : (Nq if bq > 1 else 1), :Nk]
     return dq, dk, dv, db
+
+
+# ---------------------------------------------------------------------------
+# Packed-qkv kernel: the BEiT self-attention hot path.
+#
+# Input is the fused qkv projection's output [B, N, 3C] (C = H·D) — exactly
+# what the qkv Dense produces. Each grid cell handles `hpb` heads whose lanes
+# form one 128-wide window of the packed tensor, so q/k/v are never split,
+# reshaped, or transposed in HBM (profiled at ~25 ms/step of layout copies
+# for the XLA path at B=96). Grid order keeps the rel-pos bias block
+# VMEM-resident across the whole batch sweep.
+# ---------------------------------------------------------------------------
+
+
+def _packed_fwd_kernel(qkv_q, qkv_k, qkv_v, b_ref, o_ref, *, scale,
+                       nk_valid, hpb, D):
+    for j in range(hpb):
+        sl = slice(j * D, (j + 1) * D)
+        q = qkv_q[0, :, sl].astype(jnp.float32) * scale   # [blk_q, D]
+        k = qkv_k[0, :, sl]                               # [Nkp, D]
+        s = jax.lax.dot_general(q.astype(k.dtype), k,
+                                (((1,), (1,)), ((), ())),
+                                preferred_element_type=jnp.float32)
+        s = s + b_ref[0, j].astype(jnp.float32)
+        s = _mask_pad(s, nk_valid)
+        p = _softmax(s)
+        v = qkv_v[0, :, sl]
+        o = jax.lax.dot_general(p.astype(v.dtype), v,
+                                (((1,), (0,)), ((), ())),
+                                preferred_element_type=jnp.float32)
+        o_ref[0, :, sl] = o.astype(o_ref.dtype)
+
+
+def _packed_bwd_kernel(qkv_q, qkv_k, qkv_v, do_ref, b_ref, dq_ref, dk_ref,
+                       dv_ref, db_ref, *, scale, nk_valid, hpb, D,
+                       db_init_axis0):
+    for j in range(hpb):
+        sl = slice(j * D, (j + 1) * D)
+        q = qkv_q[0, :, sl]
+        k = qkv_k[0, :, sl]
+        v = qkv_v[0, :, sl]
+        do = do_ref[0, :, sl].astype(jnp.float32)
+
+        qs = (q.astype(jnp.float32) * scale).astype(q.dtype)
+        s = jax.lax.dot_general(qs, k, (((1,), (1,)), ((), ())),
+                                preferred_element_type=jnp.float32)
+        s = s + b_ref[0, j].astype(jnp.float32)
+        s = _mask_pad(s, nk_valid)
+        p = _softmax(s)
+
+        pb = p.astype(do_ref.dtype)
+        dv = jax.lax.dot_general(pb, do.astype(pb.dtype),
+                                 (((0,), (0,)), ((), ())),
+                                 preferred_element_type=jnp.float32)
+        dp = jax.lax.dot_general(do.astype(v.dtype), v,
+                                 (((1,), (1,)), ((), ())),
+                                 preferred_element_type=jnp.float32)
+        ds = p * (dp - jnp.sum(p * dp, axis=-1, keepdims=True))
+        dsb = ds.astype(k.dtype)
+        dq = jax.lax.dot_general(dsb, k, (((1,), (0,)), ((), ())),
+                                 preferred_element_type=jnp.float32) * scale
+        dk = jax.lax.dot_general(dsb, qs, (((0,), (0,)), ((), ())),
+                                 preferred_element_type=jnp.float32)
+
+        dq_ref[0, :, sl] = dq.astype(dq_ref.dtype)
+        dk_ref[0, :, sl] = dk.astype(dk_ref.dtype)
+        dv_ref[0, :, sl] = dv.astype(dv_ref.dtype)
+
+        init = pl.program_id(2) == 0
+        if db_init_axis0:
+            init = jnp.logical_and(init, pl.program_id(0) == 0)
+
+        @pl.when(init)
+        def _():
+            db_ref[0, j] = jnp.zeros_like(db_ref[0, j])
+
+        db_ref[0, j] += ds.astype(db_ref.dtype)
+
+
+def _packed_shapes(B, N, C3, H, dtype):
+    C = C3 // 3
+    D = C // H
+    hpb = max(1, 128 // D)           # heads per 128-lane window
+    sub = 16 if dtype == jnp.bfloat16 else 8
+    Np = _round_up(N, max(sub, 8))
+    Nkp = _round_up(N, 128)
+    return C, D, hpb, Np, Nkp
+
+
+def _packed_specs(B, Np, Nkp, C, D, hpb, H, blk_q=None):
+    """in-specs reading q/k/v 128-lane windows straight from [B, Np, 3C]."""
+    W = hpb * D  # lane window
+
+    def sec_map(section):
+        def m(hp, i, b):
+            return (b, 0, section * (C // W) + hp)
+
+        return m
+
+    blk = (1, Np, W)
+    return [pl.BlockSpec(blk, sec_map(s)) for s in (0, 1, 2)]
+
+
+def _packed_fwd_impl(qkv, bias, scale, H, interpret=False):
+    B, N, C3 = qkv.shape
+    C, D, hpb, Np, Nkp = _packed_shapes(B, N, C3, H, qkv.dtype)
+    # pad N to both the sublane multiple and the kv lane multiple: scores
+    # matrices want Nk padded to 128; q rows only need sublane alignment,
+    # but a single padded length keeps one input buffer.
+    Np = max(Np, Nkp)
+    qkv_p = jnp.pad(qkv, ((0, 0), (0, Np - N), (0, 0)))
+
+    grid = (H // hpb, 1, B)  # batch innermost: bias block stays resident
+    in_specs = _packed_specs(B, Np, Nkp, C, D, hpb, H)
+
+    bias_p = _bias_prep(bias, Np, Np, N)  # [1|B, H, Np|1, Np]
+    bb, bh, bq, _ = bias.shape
+    bqs = Np if bq > 1 else 1
+
+    def bmap(hp, i, b):
+        return (b if bb > 1 else 0, hp if bh > 1 else 0, 0, 0)
+
+    bspec = pl.BlockSpec((1, hpb if bh > 1 else 1, bqs, Np), bmap)
+
+    ospec = pl.BlockSpec((1, Np, hpb * D), lambda hp, i, b: (b, 0, hp))
+
+    out = pl.pallas_call(
+        functools.partial(_packed_fwd_kernel, scale=scale, nk_valid=N,
+                          hpb=hpb, D=D),
+        grid=grid,
+        in_specs=in_specs + [bspec],
+        out_specs=ospec,
+        out_shape=jax.ShapeDtypeStruct((B, Np, C), qkv.dtype),
+        interpret=interpret,
+    )(qkv_p, qkv_p, qkv_p, bias_p)
+    return out[:, :N]
+
+
+def _packed_bwd_impl(qkv, bias, scale, H, g, interpret=False):
+    B, N, C3 = qkv.shape
+    C, D, hpb, Np, Nkp = _packed_shapes(B, N, C3, H, qkv.dtype)
+    Np = max(Np, Nkp)
+    qkv_p = jnp.pad(qkv, ((0, 0), (0, Np - N), (0, 0)))
+    gp = jnp.pad(g, ((0, 0), (0, Np - N), (0, 0)))
+
+    grid = (H // hpb, 1, B)
+    in_specs = _packed_specs(B, Np, Nkp, C, D, hpb, H)
+    gspec = pl.BlockSpec((1, Np, hpb * D), lambda hp, i, b: (b, 0, hp))
+
+    bias_p = _bias_prep(bias, Np, Np, N)
+    bb, bh, bq, _ = bias.shape
+    bqs = Np if bq > 1 else 1
+
+    def bmap(hp, i, b):
+        return (b if bb > 1 else 0, hp if bh > 1 else 0, 0, 0)
+
+    bspec = pl.BlockSpec((1, hpb if bh > 1 else 1, bqs, Np), bmap)
+
+    db_B = bb if bb > 1 else 1
+    db_H = bh  # per-head rows (the packed path is for rel-pos bias, bh == H)
+    out_shapes = [
+        jax.ShapeDtypeStruct((B, Np, C), jnp.float32),   # dq
+        jax.ShapeDtypeStruct((B, Np, C), jnp.float32),   # dk
+        jax.ShapeDtypeStruct((B, Np, C), jnp.float32),   # dv
+        jax.ShapeDtypeStruct((db_B, db_H, bqs, Np), jnp.float32),
+    ]
+    out_specs = [gspec, gspec, gspec, bspec]
+
+    outs = pl.pallas_call(
+        functools.partial(_packed_bwd_kernel, scale=scale, nk_valid=N,
+                          hpb=hpb, D=D, db_init_axis0=False),
+        grid=grid,
+        in_specs=in_specs + [gspec, bspec],
+        out_specs=out_specs,
+        out_shape=out_shapes,
+        interpret=interpret,
+    )(qkv_p, qkv_p, qkv_p, gp, bias_p)
+
+    dqkv = jnp.concatenate([o[:, :N] for o in outs[:3]],
+                           axis=-1).astype(qkv.dtype)
+    db = outs[3][:, :, : (N if bq > 1 else 1), :N]
+    return dqkv, db
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(2, 3, 4))
+def flash_attention_packed(qkv, bias, scale, num_heads, interpret=False):
+    """Fused attention over the packed qkv projection output.
+
+    qkv: [B, N, 3·H·D] (layout [q ‖ k ‖ v], heads contiguous inside each
+    section — the fused qkv Dense layout). bias: [1|B, H, N|1, N] additive
+    (rel-pos bias and/or padding mask). → [B, N, H·D]."""
+    return _packed_fwd_impl(qkv, bias, scale, num_heads, interpret)
+
+
+def _packed_fwd_rule(qkv, bias, scale, num_heads, interpret):
+    out = flash_attention_packed(qkv, bias, scale, num_heads, interpret)
+    return out, (qkv, bias)
+
+
+def _packed_bwd_rule(scale, num_heads, interpret, res, g):
+    qkv, bias = res
+    dqkv, db = _packed_bwd_impl(qkv, bias, scale, num_heads, g, interpret)
+    bb, bh, bq, _ = bias.shape
+    if bh == 1:  # kernel produced per-head rows; reduce to the bias shape
+        db = jnp.sum(db, axis=1, keepdims=True)
+    return dqkv, db.astype(bias.dtype)
+
+
+flash_attention_packed.defvjp(_packed_fwd_rule, _packed_bwd_rule)
+
+
+def packed_ok(qkv_shape, num_heads, bias, dtype) -> bool:
+    """Static dispatch predicate for the packed kernel."""
+    import os
+
+    if os.environ.get("XFM_DISABLE_FLASH", "0") == "1":
+        return False
+    if os.environ.get("XFM_PACKED_ATTN", "1") != "1":
+        return False
+    if not (_HAS_PLTPU and _on_tpu_cached()):
+        return False
+    if bias is None:
+        return False
+    # kernel covers the rel-pos-bias self-attention shape: one shared bias
+    # over batch, one row per head (db accumulation relies on bb == 1)
+    if bias.shape[0] != 1 or bias.shape[1] != num_heads:
+        return False
+    B, N, C3 = qkv_shape
+    C = C3 // 3
+    if C % num_heads:
+        return False
+    D = C // num_heads
+    if D % 8 or 128 % D or num_heads % max(1, 128 // D):
+        return False
+    # VMEM budget: scores/probs [Np, Np] f32 per head-in-flight + qkv blocks
+    Np = _round_up(N, 128)
+    if Np * Np * 4 * 4 + 3 * Np * 128 * 2 > 12 * 1024 * 1024:
+        return False
+    return True
+
+
+@functools.lru_cache(maxsize=1)
+def _on_tpu_cached() -> bool:
+    try:
+        return jax.devices()[0].platform == "tpu"
+    except Exception:  # pragma: no cover
+        return False
 
 
 def _xla_reference(q, k, v, bias, scale):
@@ -347,13 +630,6 @@ def _bwd(scale, interpret, res, g):
     if bias is None:
         return dq, dk, dv, None
     return dq, dk, dv, db.astype(bias.dtype)
-
-
-def _reduce_to_shape(x, shape):
-    for ax, (have, want) in enumerate(zip(x.shape, shape)):
-        if want == 1 and have != 1:
-            x = jnp.sum(x, axis=ax, keepdims=True)
-    return x
 
 
 flash_attention.defvjp(_fwd, _bwd)
