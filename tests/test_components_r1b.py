@@ -197,3 +197,78 @@ def test_beit_local_attn_region_mode():
     # masked region differs from the full row
     assert not np.allclose(np.asarray(region[0]), np.asarray(full[0]),
                            atol=1e-4)
+
+
+def test_top_k_top_p_filtering():
+    from xfm_tpu.models.generation import top_k_top_p_filtering
+
+    logits = jnp.asarray([[2.0, 1.0, 0.5, 0.1, -1.0]])
+    out = top_k_top_p_filtering(logits, top_k=2)
+    keep = np.isfinite(np.asarray(out)) & (np.asarray(out) > -1e30)
+    assert keep.tolist() == [[True, True, False, False, False]]
+
+    # top_p: keep smallest prefix of sorted probs whose *preceding* mass < p
+    probs = np.asarray(jax.nn.softmax(logits, -1))[0]
+    out = top_k_top_p_filtering(logits, top_p=float(probs[0]) + 1e-4)
+    keep = np.asarray(out)[0] > -1e30
+    assert keep.tolist() == [True, True, False, False, False]
+    # p below the top token's prob still keeps the top token
+    out = top_k_top_p_filtering(logits, top_p=1e-6)
+    keep = np.asarray(out)[0] > -1e30
+    assert keep.tolist() == [True, False, False, False, False]
+    # renormalized distribution only over kept tokens
+    out = top_k_top_p_filtering(logits, top_k=3, top_p=1.0)
+    p = np.asarray(jax.nn.softmax(out, -1))[0]
+    np.testing.assert_allclose(p[3:], 0.0, atol=1e-6)
+
+
+def test_probe_dataset_layouts(tmp_path):
+    import h5py
+    from xfm_tpu.data.probe_datasets import load_probe_split
+    from xfm_tpu.data.transforms import decode_image
+
+    # npz layout
+    root = tmp_path / "cifar10"
+    root.mkdir()
+    imgs = np.random.randint(0, 255, (8, 32, 32, 3), np.uint8)
+    labels = np.arange(8) % 10
+    np.savez(root / "test.npz", images=imgs, labels=labels)
+    rows, nc = load_probe_split("cifar10", str(root), "test")
+    assert nc == 10 and len(rows) == 8
+    im = decode_image(rows[0][0])
+    assert im.size == (32, 32)
+
+    # fer2013 h5 layout (grayscale 48x48)
+    r2 = tmp_path / "fer"
+    r2.mkdir()
+    with h5py.File(r2 / "fer2013.h5", "w") as f:
+        g = f.create_group("test")
+        g["images"] = np.random.randint(0, 255, (4, 48, 48), np.uint8)
+        g["labels"] = np.asarray([0, 1, 2, 3])
+    rows, nc = load_probe_split("fer2013", str(r2), "test")
+    assert nc == 7 and len(rows) == 4
+    assert decode_image(rows[1][0]).mode == "RGB"
+
+    # class-folder tree
+    r3 = tmp_path / "dtd"
+    for c in ("banded", "dotted"):
+        (r3 / "test" / c).mkdir(parents=True)
+        from PIL import Image
+
+        Image.fromarray(imgs[0]).save(r3 / "test" / c / "a.jpg")
+    rows, nc = load_probe_split("dtd", str(r3), "test")
+    assert nc == 47 and len(rows) == 2 and rows[0][1] == 0
+
+
+def test_io_fetch_many_and_glob(tmp_path):
+    from xfm_tpu.data import io as xio
+
+    src = tmp_path / "src"
+    src.mkdir()
+    for i in range(3):
+        (src / f"part{i}.txt").write_text(str(i))
+    hits = xio.glob_files(str(src / "part*.txt"))
+    assert len(hits) == 3
+    assert xio.glob_files(str(src / "nope*.bin")) == []
+    out = xio.fetch_many(hits, str(tmp_path / "dst"), num_threads=2)
+    assert [open(p).read() for p in out] == ["0", "1", "2"]

@@ -126,3 +126,34 @@ def count_lines(path: str) -> int:
         for _ in f:
             n += 1
     return n
+
+
+def fetch_many(paths: list[str], target_dir: str,
+               num_threads: int = 16) -> list[str]:
+    """Parallel fetch of remote files into target_dir (reference
+    utils/hdfs_io.py:147 `hmget`). Returns the local paths, in order."""
+    from concurrent.futures import ThreadPoolExecutor
+
+    os.makedirs(target_dir, exist_ok=True)
+    locals_ = [os.path.join(target_dir, os.path.basename(p)) for p in paths]
+
+    def one(src_dst):
+        src, dst = src_dst
+        copy(src, dst)
+        return dst
+
+    with ThreadPoolExecutor(max_workers=num_threads) as ex:
+        return list(ex.map(one, zip(paths, locals_)))
+
+
+def glob_files(pattern: str) -> list[str]:
+    """Glob across local/gs/hdfs schemes (reference utils/hdfs_io.py:176
+    `hglob`). Unlike list_files, a non-matching pattern returns []."""
+    if _is_gcs(pattern):
+        return sorted(_gfile().glob(pattern))
+    if _is_hdfs(pattern):
+        out = subprocess.run(f"hdfs dfs -ls {pattern}", shell=True,
+                             capture_output=True, text=True).stdout
+        return sorted(line.split()[-1] for line in out.splitlines()
+                      if line.startswith("-") or line.startswith("d"))
+    return sorted(_glob.glob(pattern))

@@ -27,8 +27,12 @@ except Exception:
 
 
 def decode_image(source) -> Image.Image:
-    """Path / bytes / base64 string → RGB PIL image
+    """Path / bytes / base64 string / uint8 array → RGB PIL image
     (reference dataset/pretrain_dataset.py:239-246)."""
+    if isinstance(source, np.ndarray):
+        if source.ndim == 2:
+            source = np.stack([source] * 3, axis=-1)
+        return Image.fromarray(source.astype(np.uint8)).convert("RGB")
     if isinstance(source, Image.Image):
         img = source
     elif isinstance(source, (bytes, bytearray)):

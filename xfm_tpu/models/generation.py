@@ -214,9 +214,32 @@ class XFMForCaptioning(nn.Module):
                                                deterministic=deterministic)
 
 
+def top_k_top_p_filtering(logits, top_k: int = 0, top_p: float = 1.0):
+    """Mask logits outside the top-k / nucleus-p set to -inf
+    (reference models/xbert.py:1487-1515), jit-friendly (static shapes:
+    sort + threshold instead of scatter)."""
+    neg = jnp.finfo(jnp.float32).min
+    logits = logits.astype(jnp.float32)
+    if top_k > 0:
+        kth = jax.lax.top_k(logits, min(top_k, logits.shape[-1]))[0][..., -1:]
+        logits = jnp.where(logits < kth, neg, logits)
+    if top_p < 1.0:
+        sorted_desc = jnp.flip(jnp.sort(logits, axis=-1), axis=-1)
+        probs = jax.nn.softmax(sorted_desc, axis=-1)
+        cum = jnp.cumsum(probs, axis=-1)
+        # keep while the mass *before* a token is < top_p (ensures the
+        # first token always survives — the reference's shift-right)
+        keep = (cum - probs) < top_p
+        thresh = jnp.min(jnp.where(keep, sorted_desc, jnp.inf), axis=-1,
+                         keepdims=True)
+        logits = jnp.where(logits < thresh, neg, logits)
+    return logits
+
+
 def generate(model: XFMForCaptioning, variables, images, *, bos_id: int,
              eos_id: int, pad_id: int, max_len: int = 20,
              greedy: bool = True, temperature: float = 1.0,
+             top_k: int = 0, top_p: float = 1.0,
              rng: Optional[jax.Array] = None, num_return_sequences: int = 1):
     """Greedy/sampled decoding with the KV cache threaded through a
     lax.scan (reference OSCAR-style loop, models/xbert.py:1393-1484),
@@ -231,7 +254,7 @@ def generate(model: XFMForCaptioning, variables, images, *, bos_id: int,
     return _generate_jit(model, variables["params"], images, rng,
                          bos_id=bos_id, eos_id=eos_id, pad_id=pad_id,
                          max_len=max_len, greedy=greedy,
-                         temperature=temperature,
+                         temperature=temperature, top_k=top_k, top_p=top_p,
                          num_return_sequences=num_return_sequences)
 
 
@@ -240,9 +263,11 @@ from functools import partial as _partial  # noqa: E402
 
 @_partial(jax.jit, static_argnames=("model", "bos_id", "eos_id", "pad_id",
                                     "max_len", "greedy", "temperature",
+                                    "top_k", "top_p",
                                     "num_return_sequences"))
 def _generate_jit(model, params, images, rng, *, bos_id, eos_id, pad_id,
-                  max_len, greedy, temperature, num_return_sequences):
+                  max_len, greedy, temperature, top_k=0, top_p=1.0,
+                  num_return_sequences=1):
     variables = {"params": params}
     image_embeds = model.apply({"params": params}, images,
                                method=XFMForCaptioning.encode_images)
@@ -255,8 +280,10 @@ def _generate_jit(model, params, images, rng, *, bos_id, eos_id, pad_id,
         rng = jax.random.PRNGKey(0)
 
     def select(logits, done, rng):
-        logp = jax.nn.log_softmax(logits.astype(jnp.float32) / temperature,
-                                  axis=-1)
+        logits = logits.astype(jnp.float32) / temperature
+        if not greedy and (top_k > 0 or top_p < 1.0):
+            logits = top_k_top_p_filtering(logits, top_k, top_p)
+        logp = jax.nn.log_softmax(logits, axis=-1)
         if greedy:
             nxt = jnp.argmax(logp, axis=-1)
         else:

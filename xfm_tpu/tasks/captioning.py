@@ -208,6 +208,9 @@ def train_scst(ctx, cfg, model, state, train_data, tokenizer):
             samp_seqs, _ = generate(model, variables, images, bos_id=bos,
                                     eos_id=eos, pad_id=pad, max_len=max_len,
                                     greedy=False, rng=sub,
+                                    top_k=int(cfg.get("sample_top_k", 0)),
+                                    top_p=float(cfg.get("sample_top_p",
+                                                        1.0)),
                                     num_return_sequences=n_samples)
             # CIDEr rewards on host
             iids = [str(a) for a in batch.get("image_id",

@@ -41,7 +41,9 @@ def load_glue_examples(config: dict, split: str):
     task = config["task_name"]
     k1, k2 = TASK_KEYS[task]
 
-    file_key = {"train": "train_file", "validation": "validation_file"}[split]
+    file_key = {"train": "train_file", "validation": "validation_file",
+                "validation_mismatched":
+                    "validation_mismatched_file"}[split]
     if config.get(file_key):
         import json
 
@@ -54,8 +56,9 @@ def load_glue_examples(config: dict, split: str):
         return rows
 
     ds_dir = config.get("glue_datasets")
-    hf_split = split if split != "validation" else (
-        "validation_matched" if task == "mnli" else "validation")
+    hf_split = split
+    if split == "validation":
+        hf_split = "validation_matched" if task == "mnli" else "validation"
     import datasets
 
     if ds_dir and os.path.isdir(os.path.join(str(ds_dir), task)):
@@ -234,4 +237,21 @@ def main(args, config: Optional[dict] = None):
 
             save_checkpoint(os.path.join(ctx.out_dir, "ckpt"), state,
                             step=epoch)
+
+    if task == "mnli":
+        # Final mnli-mm evaluation on validation_mismatched
+        # (reference run_glue.py:398-421).
+        try:
+            mm_ex = load_glue_examples(cfg, "validation_mismatched")
+        except (KeyError, FileNotFoundError, OSError) as e:
+            print(f"### mnli-mm eval skipped: {e}", flush=True)
+            mm_ex = None
+        if mm_ex:
+            mm = evaluate(ctx, model, state.params, mm_ex, tokenize, task,
+                          cfg.get("per_device_eval_batch_size", 8)
+                          * jax.device_count())
+            metrics.update({f"mm_{k}": v for k, v in mm.items()})
+            append_log(ctx.out_dir, {"mnli_mm": mm})
+            if is_main_process():
+                print(f"mnli-mm: {mm}", flush=True)
     return metrics

@@ -82,7 +82,7 @@ def batches(rows, transform, image_root, batch_size, shuffle=True, seed=0,
     buf_i, buf_l = [], []
     for i in idx:
         path, label = rows[int(i)]
-        if image_root and not os.path.isabs(path):
+        if isinstance(path, str) and image_root and not os.path.isabs(path):
             path = os.path.join(image_root, path)
         try:
             buf_i.append(transform(decode_image(path)))
@@ -123,8 +123,21 @@ def main(args, config: Optional[dict] = None):
     image_res = cfg.get("image_res", 224)
     is_lp = bool(cfg.get("is_lp", False))
 
-    train_rows, n1 = load_manifest(cfg["train_root"])
-    val_rows, n2 = load_manifest(cfg["val_root"])
+    if cfg.get("dataset"):
+        # Named probe dataset (reference Imagenet.py:43-177 DATASETS
+        # registry incl. the FER2013 h5 loader).
+        from ..data.probe_datasets import PROBE_DATASETS, load_probe_split
+
+        name = cfg["dataset"]
+        root = cfg.get("data_root", cfg.get("train_root", "."))
+        spec = PROBE_DATASETS[name.lower()]
+        train_rows, n1 = load_probe_split(
+            name, root, cfg.get("train_split", spec.train_split))
+        val_rows, n2 = load_probe_split(
+            name, root, cfg.get("val_split", spec.val_split))
+    else:
+        train_rows, n1 = load_manifest(cfg["train_root"])
+        val_rows, n2 = load_manifest(cfg["val_root"])
     num_labels = cfg.get("num_labels", max(n1, n2))
 
     mcfg = config_from_yaml(cfg)
