@@ -48,7 +48,8 @@ def main():
         @partial(jax.jit, donate_argnums=())
         def run(x, w):
             def body(c, _):
-                g = jax.grad(lambda w_: tower(attn_fn, x, w_))(w)
+                w_c = w * (1.0 + c * 1e-30).astype(w.dtype)
+                g = jax.grad(lambda w_: tower(attn_fn, x, w_))(w_c)
                 return c + jnp.sum(g.astype(jnp.float32) ** 2), None
 
             out, _ = jax.lax.scan(body, 0.0, jnp.arange(iters))
@@ -82,7 +83,8 @@ def main():
         @partial(jax.jit, donate_argnums=())
         def run(x, w):
             def body(c, _):
-                g = jax.grad(lambda w_: tower_packed(x, w_))(w)
+                w_c = w * (1.0 + c * 1e-30).astype(w.dtype)
+                g = jax.grad(lambda w_: tower_packed(x, w_))(w_c)
                 return c + jnp.sum(g.astype(jnp.float32) ** 2), None
 
             out, _ = jax.lax.scan(body, 0.0, jnp.arange(iters))

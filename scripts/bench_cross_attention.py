@@ -52,8 +52,11 @@ def main():
         @jax.jit
         def run(xq, xk, wq, wk, wv):
             def body(c, _):
+                # carry feeds the weights: stops XLA hoisting the whole
+                # (loop-invariant) grad computation out of the scan
+                w_c = wq * (1.0 + c * 1e-30).astype(wq.dtype)
                 g = jax.grad(lambda w_: tower(attn_fn, xq, xk, w_, wk,
-                                              wv))(wq)
+                                              wv))(w_c)
                 return c + jnp.sum(g.astype(jnp.float32) ** 2), None
 
             out, _ = jax.lax.scan(body, 0.0, jnp.arange(iters))

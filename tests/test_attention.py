@@ -155,3 +155,37 @@ def test_packed_matches_xla_fwd_bwd():
                                atol=5e-3, rtol=1e-2)
     np.testing.assert_allclose(np.asarray(db), np.asarray(db_ref),
                                atol=5e-3, rtol=1e-2)
+
+
+def test_packed_batch_blocked_matches_xla():
+    """G>1 path: several batch rows per grid cell."""
+    from xfm_tpu.ops.flash_attention import (_packed_fwd_impl,
+                                             _packed_bwd_impl, _pick_g)
+
+    B, N, H, D = 8, 21, 4, 32
+    C = H * D
+    qkv = rand((B, N, 3 * C), 0)
+    bias = rand((1, H, N, N), 3)
+    scale = D ** -0.5
+    assert _pick_g(B, 128) == 8
+
+    q, k, v = [t.reshape(B, N, H, D) for t in jnp.split(qkv, 3, axis=-1)]
+    ref = _xla_reference(q, k, v, bias, scale).reshape(B, N, C)
+    out = _packed_fwd_impl(qkv, bias, scale, H, interpret=True)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=2e-3,
+                               rtol=1e-2)
+
+    g = rand((B, N, C), 7)
+
+    def loss_ref(qkv, bias):
+        q, k, v = [t.reshape(B, N, H, D)
+                   for t in jnp.split(qkv, 3, axis=-1)]
+        o = _xla_reference(q, k, v, bias, scale).reshape(B, N, C)
+        return jnp.sum(o * g)
+
+    dq_ref, db_ref = jax.grad(loss_ref, argnums=(0, 1))(qkv, bias)
+    dqkv, db = _packed_bwd_impl(qkv, bias, scale, H, g, interpret=True)
+    np.testing.assert_allclose(np.asarray(dqkv), np.asarray(dq_ref),
+                               atol=5e-3, rtol=1e-2)
+    np.testing.assert_allclose(np.asarray(db), np.asarray(db_ref),
+                               atol=5e-3, rtol=1e-2)

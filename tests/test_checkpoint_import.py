@@ -1,6 +1,7 @@
 """Checkpoint-translation tests (SURVEY.md §4.2): synthetic reference-style
 torch state dicts → Flax param tree, exercising every rename rule the
 importer implements (reference models/xfm.py:26-78,408-468 naming)."""
+import os
 import numpy as np
 import pytest
 
@@ -315,3 +316,55 @@ def test_swin_import_covers_tree():
     assert not missing and not unexpected, (missing, unexpected)
     out = model.apply({"params": merged}, jnp.ones((2, 32, 32, 3)))
     assert out.shape == (2, 17, 32)
+
+
+def test_convert_checkpoint_cli(tmp_path, monkeypatch):
+    """scripts/convert_checkpoint.py round trip: torch .th -> orbax -> .th."""
+    import runpy
+    import yaml
+    import torch
+
+    from xfm_tpu.models import XFMForPretrain, config_from_yaml
+    from xfm_tpu.train.checkpoint import export_xfm_checkpoint
+
+    ycfg = dict(image_res=32, patch_size=16, vision_embed_dim=32,
+                vision_depth=2, vision_num_heads=2,
+                text_encoder="roberta-base", text_num_hidden_layers=2,
+                text_fusion_start_at=2, fusion_num_hidden_layers=2,
+                fusion_fusion_start_at=0, text_hidden_size=32,
+                text_num_attention_heads=2, text_intermediate_size=64,
+                embed_dim=16, vocab_size=64)
+    cfg_path = tmp_path / "cfg.yaml"
+    yaml.safe_dump(ycfg, open(cfg_path, "w"))
+    cfg = config_from_yaml(ycfg)
+
+    model = XFMForPretrain(cfg)
+    params = model.init({"params": jax.random.PRNGKey(0)},
+                        jnp.zeros((1, 32, 32, 3)),
+                        jnp.zeros((1, 8), jnp.int32),
+                        jnp.ones((1, 8), jnp.int32),
+                        method=XFMForPretrain.init_all)["params"]
+    sd = export_xfm_checkpoint(params, cfg)
+    th = tmp_path / "ref.th"
+    torch.save({k: torch.from_numpy(np.asarray(v)) for k, v in sd.items()},
+               th)
+
+    script = os.path.join(os.path.dirname(os.path.dirname(
+        os.path.abspath(__file__))), "scripts", "convert_checkpoint.py")
+    out_ckpt = tmp_path / "jax_ckpt"
+    monkeypatch.setattr("sys.argv", ["convert_checkpoint.py", "to-jax",
+                                     str(th), str(out_ckpt),
+                                     "--config", str(cfg_path)])
+    runpy.run_path(script, run_name="__main__")
+    assert os.path.isdir(out_ckpt)
+
+    back = tmp_path / "back.th"
+    monkeypatch.setattr("sys.argv", ["convert_checkpoint.py", "to-torch",
+                                     str(out_ckpt), str(back),
+                                     "--config", str(cfg_path)])
+    runpy.run_path(script, run_name="__main__")
+    sd2 = torch.load(back, map_location="cpu", weights_only=False)
+    for k in sd:
+        np.testing.assert_allclose(np.asarray(sd[k]),
+                                   np.asarray(sd2[k]), atol=1e-6,
+                                   err_msg=k)

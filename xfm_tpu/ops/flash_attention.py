@@ -361,68 +361,91 @@ def _fused_attention_bwd_impl(q, k, v, bias, scale, g, interpret=False):
 
 
 def _packed_fwd_kernel(qkv_q, qkv_k, qkv_v, b_ref, o_ref, *, scale,
-                       nk_valid, hpb, D):
-    for j in range(hpb):
-        sl = slice(j * D, (j + 1) * D)
-        q = qkv_q[0, :, sl].astype(jnp.float32) * scale   # [blk_q, D]
-        k = qkv_k[0, :, sl]                               # [Nkp, D]
-        s = jax.lax.dot_general(q.astype(k.dtype), k,
-                                (((1,), (1,)), ((), ())),
-                                preferred_element_type=jnp.float32)
-        s = s + b_ref[0, j].astype(jnp.float32)
-        s = _mask_pad(s, nk_valid)
-        p = _softmax(s)
-        v = qkv_v[0, :, sl]
-        o = jax.lax.dot_general(p.astype(v.dtype), v,
-                                (((1,), (0,)), ((), ())),
-                                preferred_element_type=jnp.float32)
-        o_ref[0, :, sl] = o.astype(o_ref.dtype)
+                       nk_valid, hpb, D, G):
+    for g in range(G):
+        for j in range(hpb):
+            sl = slice(j * D, (j + 1) * D)
+            q = qkv_q[g, :, sl].astype(jnp.float32) * scale  # [blk_q, D]
+            k = qkv_k[g, :, sl]                              # [Nkp, D]
+            s = jax.lax.dot_general(q.astype(k.dtype), k,
+                                    (((1,), (1,)), ((), ())),
+                                    preferred_element_type=jnp.float32)
+            s = s + b_ref[0, j].astype(jnp.float32)
+            s = _mask_pad(s, nk_valid)
+            p = _softmax(s)
+            v = qkv_v[g, :, sl]
+            o = jax.lax.dot_general(p.astype(v.dtype), v,
+                                    (((1,), (0,)), ((), ())),
+                                    preferred_element_type=jnp.float32)
+            o_ref[g, :, sl] = o.astype(o_ref.dtype)
 
 
 def _packed_bwd_kernel(qkv_q, qkv_k, qkv_v, do_ref, b_ref, dq_ref, dk_ref,
-                       dv_ref, db_ref, *, scale, nk_valid, hpb, D,
+                       dv_ref, db_ref, *, scale, nk_valid, hpb, D, G,
                        db_init_axis0):
-    for j in range(hpb):
-        sl = slice(j * D, (j + 1) * D)
-        q = qkv_q[0, :, sl]
-        k = qkv_k[0, :, sl]
-        v = qkv_v[0, :, sl]
-        do = do_ref[0, :, sl].astype(jnp.float32)
+    for g in range(G):
+        for j in range(hpb):
+            sl = slice(j * D, (j + 1) * D)
+            q = qkv_q[g, :, sl]
+            k = qkv_k[g, :, sl]
+            v = qkv_v[g, :, sl]
+            do = do_ref[g, :, sl].astype(jnp.float32)
 
-        qs = (q.astype(jnp.float32) * scale).astype(q.dtype)
-        s = jax.lax.dot_general(qs, k, (((1,), (1,)), ((), ())),
-                                preferred_element_type=jnp.float32)
-        s = s + b_ref[0, j].astype(jnp.float32)
-        s = _mask_pad(s, nk_valid)
-        p = _softmax(s)
+            qs = (q.astype(jnp.float32) * scale).astype(q.dtype)
+            s = jax.lax.dot_general(qs, k, (((1,), (1,)), ((), ())),
+                                    preferred_element_type=jnp.float32)
+            s = s + b_ref[0, j].astype(jnp.float32)
+            s = _mask_pad(s, nk_valid)
+            p = _softmax(s)
 
-        pb = p.astype(do_ref.dtype)
-        dv = jax.lax.dot_general(pb, do.astype(pb.dtype),
-                                 (((0,), (0,)), ((), ())),
-                                 preferred_element_type=jnp.float32)
-        dp = jax.lax.dot_general(do.astype(v.dtype), v,
-                                 (((1,), (1,)), ((), ())),
-                                 preferred_element_type=jnp.float32)
-        ds = p * (dp - jnp.sum(p * dp, axis=-1, keepdims=True))
-        dsb = ds.astype(k.dtype)
-        dq = jax.lax.dot_general(dsb, k, (((1,), (0,)), ((), ())),
-                                 preferred_element_type=jnp.float32) * scale
-        dk = jax.lax.dot_general(dsb, qs, (((0,), (0,)), ((), ())),
-                                 preferred_element_type=jnp.float32)
+            pb = p.astype(do_ref.dtype)
+            dv = jax.lax.dot_general(pb, do.astype(pb.dtype),
+                                     (((0,), (0,)), ((), ())),
+                                     preferred_element_type=jnp.float32)
+            dp = jax.lax.dot_general(do.astype(v.dtype), v,
+                                     (((1,), (1,)), ((), ())),
+                                     preferred_element_type=jnp.float32)
+            ds = p * (dp - jnp.sum(p * dp, axis=-1, keepdims=True))
+            dsb = ds.astype(k.dtype)
+            dq = jax.lax.dot_general(dsb, k, (((1,), (0,)), ((), ())),
+                                     preferred_element_type=jnp.float32) \
+                * scale
+            dk = jax.lax.dot_general(dsb, qs, (((0,), (0,)), ((), ())),
+                                     preferred_element_type=jnp.float32)
 
-        dq_ref[0, :, sl] = dq.astype(dq_ref.dtype)
-        dk_ref[0, :, sl] = dk.astype(dk_ref.dtype)
-        dv_ref[0, :, sl] = dv.astype(dv_ref.dtype)
+            dq_ref[g, :, sl] = dq.astype(dq_ref.dtype)
+            dk_ref[g, :, sl] = dk.astype(dk_ref.dtype)
+            dv_ref[g, :, sl] = dv.astype(dv_ref.dtype)
 
-        init = pl.program_id(2) == 0
-        if db_init_axis0:
-            init = jnp.logical_and(init, pl.program_id(0) == 0)
+            init = pl.program_id(2) == 0
+            if db_init_axis0:
+                init = jnp.logical_and(init, pl.program_id(0) == 0)
 
-        @pl.when(init)
-        def _():
-            db_ref[0, j] = jnp.zeros_like(db_ref[0, j])
+            @pl.when(jnp.logical_and(init, g == 0))
+            def _():
+                db_ref[0, j] = jnp.zeros_like(db_ref[0, j])
 
-        db_ref[0, j] += ds.astype(db_ref.dtype)
+            db_ref[0, j] += ds.astype(db_ref.dtype)
+
+
+def _pick_g(B: int, Np: int, bwd: bool = False) -> int:
+    """Batch rows per grid cell: amortizes per-cell overhead (measured
+    ~1.4 us/cell vs ~0.1 us of matmul at B-per-cell=1, PERF.md). Largest
+    divisor of B that keeps the cell inside VMEM. The G x hpb loop is
+    unrolled, so Mosaic's scoped-vmem stack grows with G — the backward's
+    ~2.6 MB/row of live intermediates caps its G lower than the forward's."""
+    import os
+
+    env = os.environ.get("XFM_PACKED_G_BWD" if bwd else "XFM_PACKED_G")
+    if env:
+        g = int(env)
+        return g if g >= 1 and B % g == 0 else 1
+    budget = 4 * 1024 * 1024  # qkv+out blocks; x2 double-buffered by Mosaic
+    cap = 4 if bwd else 16  # bwd G=8 blows scoped vmem (21 MB); 4 fits
+    for g in (16, 12, 8, 6, 4, 3, 2):
+        if g <= cap and B % g == 0 and 4 * g * Np * 128 * 2 <= budget:
+            return g
+    return 1
 
 
 def _packed_shapes(B, N, C3, H, dtype):
@@ -435,7 +458,7 @@ def _packed_shapes(B, N, C3, H, dtype):
     return C, D, hpb, Np, Nkp
 
 
-def _packed_specs(B, Np, Nkp, C, D, hpb, H, blk_q=None):
+def _packed_specs(B, Np, Nkp, C, D, hpb, H, G):
     """in-specs reading q/k/v 128-lane windows straight from [B, Np, 3C]."""
     W = hpb * D  # lane window
 
@@ -445,7 +468,7 @@ def _packed_specs(B, Np, Nkp, C, D, hpb, H, blk_q=None):
 
         return m
 
-    blk = (1, Np, W)
+    blk = (G, Np, W)
     return [pl.BlockSpec(blk, sec_map(s)) for s in (0, 1, 2)]
 
 
@@ -458,8 +481,9 @@ def _packed_fwd_impl(qkv, bias, scale, H, interpret=False):
     Np = max(Np, Nkp)
     qkv_p = jnp.pad(qkv, ((0, 0), (0, Np - N), (0, 0)))
 
-    grid = (H // hpb, 1, B)  # batch innermost: bias block stays resident
-    in_specs = _packed_specs(B, Np, Nkp, C, D, hpb, H)
+    G = _pick_g(B, Np)
+    grid = (H // hpb, 1, B // G)  # batch innermost: bias block stays resident
+    in_specs = _packed_specs(B, Np, Nkp, C, D, hpb, H, G)
 
     bias_p = _bias_prep(bias, Np, Np, N)  # [1|B, H, Np|1, Np]
     bb, bh, bq, _ = bias.shape
@@ -470,11 +494,11 @@ def _packed_fwd_impl(qkv, bias, scale, H, interpret=False):
 
     bspec = pl.BlockSpec((1, hpb if bh > 1 else 1, bqs, Np), bmap)
 
-    ospec = pl.BlockSpec((1, Np, hpb * D), lambda hp, i, b: (b, 0, hp))
+    ospec = pl.BlockSpec((G, Np, hpb * D), lambda hp, i, b: (b, 0, hp))
 
     out = pl.pallas_call(
         functools.partial(_packed_fwd_kernel, scale=scale, nk_valid=N,
-                          hpb=hpb, D=D),
+                          hpb=hpb, D=D, G=G),
         grid=grid,
         in_specs=in_specs + [bspec],
         out_specs=ospec,
@@ -491,9 +515,10 @@ def _packed_bwd_impl(qkv, bias, scale, H, g, interpret=False):
     qkv_p = jnp.pad(qkv, ((0, 0), (0, Np - N), (0, 0)))
     gp = jnp.pad(g, ((0, 0), (0, Np - N), (0, 0)))
 
-    grid = (H // hpb, 1, B)
-    in_specs = _packed_specs(B, Np, Nkp, C, D, hpb, H)
-    gspec = pl.BlockSpec((1, Np, hpb * D), lambda hp, i, b: (b, 0, hp))
+    G = _pick_g(B, Np, bwd=True)
+    grid = (H // hpb, 1, B // G)
+    in_specs = _packed_specs(B, Np, Nkp, C, D, hpb, H, G)
+    gspec = pl.BlockSpec((G, Np, hpb * D), lambda hp, i, b: (b, 0, hp))
 
     bias_p = _bias_prep(bias, Np, Np, N)
     bb, bh, bq, _ = bias.shape
@@ -516,7 +541,7 @@ def _packed_bwd_impl(qkv, bias, scale, H, g, interpret=False):
 
     outs = pl.pallas_call(
         functools.partial(_packed_bwd_kernel, scale=scale, nk_valid=N,
-                          hpb=hpb, D=D, db_init_axis0=False),
+                          hpb=hpb, D=D, G=G, db_init_axis0=False),
         grid=grid,
         in_specs=in_specs + [gspec, bspec],
         out_specs=out_specs,
