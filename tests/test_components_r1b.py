@@ -272,3 +272,46 @@ def test_io_fetch_many_and_glob(tmp_path):
     assert xio.glob_files(str(src / "nope*.bin")) == []
     out = xio.fetch_many(hits, str(tmp_path / "dst"), num_threads=2)
     assert [open(p).read() for p in out] == ["0", "1", "2"]
+
+
+def test_cross_kv_row_idx_matches_gathered_states():
+    """Projecting cross k/v from unique rows + in-layer gather must equal
+    running the fusion encoder on pre-gathered encoder states."""
+    from xfm_tpu.models.text_encoder import TextConfig, TextTransformer
+
+    cfg = TextConfig(vocab_size=64, hidden_size=32, num_hidden_layers=2,
+                     num_attention_heads=2, intermediate_size=64,
+                     fusion_layer=0, encoder_width=32,
+                     hidden_dropout_prob=0.0,
+                     attention_probs_dropout_prob=0.0)
+    m = TextTransformer(cfg)
+    rng = jax.random.PRNGKey(0)
+    ids = jax.random.randint(rng, (6, 7), 3, 60)
+    atts = jnp.ones((6, 7), jnp.int32)
+    enc = jax.random.normal(jax.random.PRNGKey(1), (3, 5, 32))
+    idx = jnp.asarray([2, 0, 1, 1, 2, 0], jnp.int32)
+    params = m.init(jax.random.PRNGKey(2), ids, attention_mask=atts,
+                    encoder_hidden_states=enc[idx],
+                    method=TextTransformer.init_all)
+
+    ref = m.apply(params, ids, attention_mask=atts,
+                  encoder_hidden_states=jnp.take(enc, idx, axis=0))
+    out = m.apply(params, ids, attention_mask=atts,
+                  encoder_hidden_states=enc, encoder_row_idx=idx)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=1e-5)
+
+    # gradients wrt the unique encoder states also agree (gather transpose
+    # = scatter-add)
+    def loss_ref(enc):
+        return jnp.sum(m.apply(params, ids, attention_mask=atts,
+                               encoder_hidden_states=jnp.take(
+                                   enc, idx, axis=0)) ** 2)
+
+    def loss_idx(enc):
+        return jnp.sum(m.apply(params, ids, attention_mask=atts,
+                               encoder_hidden_states=enc,
+                               encoder_row_idx=idx) ** 2)
+
+    g1 = jax.grad(loss_ref)(enc)
+    g2 = jax.grad(loss_idx)(enc)
+    np.testing.assert_allclose(np.asarray(g2), np.asarray(g1), atol=1e-4)

@@ -140,7 +140,13 @@ class SelfAttention(nn.Module):
 
     @nn.compact
     def __call__(self, hidden, kv_source, attention_bias, deterministic=True,
-                 decode=False, prob_gate=None, cross_from_cache=False):
+                 decode=False, prob_gate=None, cross_from_cache=False,
+                 kv_row_idx=None):
+        """`kv_row_idx` ([B] int): cross-attention k/v are projected from the
+        *unique* kv_source rows (e.g. B images) and gathered per hidden row —
+        the ITM hard-negative pass re-reads each image up to 3x, and
+        projecting once saves ~2/3 of the cross k/v matmul FLOPs (the
+        reference re-projects from gathered rows, models/xfm.py:788-795)."""
         c = self.config
         H = c.num_attention_heads
         D = c.hidden_size // H
@@ -165,8 +171,12 @@ class SelfAttention(nn.Module):
             k = nn.Dense(c.hidden_size, name="key", dtype=c.dtype)(kv_source)
             v = nn.Dense(c.hidden_size, name="value",
                          dtype=c.dtype)(kv_source)
-            k = k.reshape(B, kv_source.shape[1], H, D)
-            v = v.reshape(B, kv_source.shape[1], H, D)
+            U = kv_source.shape[0]
+            k = k.reshape(U, kv_source.shape[1], H, D)
+            v = v.reshape(U, kv_source.shape[1], H, D)
+            if kv_row_idx is not None:
+                k = jnp.take(k, kv_row_idx, axis=0)
+                v = jnp.take(v, kv_row_idx, axis=0)
             if decode and self.is_cross:
                 ck = self.variable("cache", "cross_k", jnp.zeros, k.shape,
                                    c.dtype)
@@ -225,7 +235,8 @@ class TransformerLayer(nn.Module):
     @nn.compact
     def __call__(self, hidden, attention_bias=None, encoder_hidden_states=None,
                  encoder_attention_bias=None, deterministic=True, decode=False,
-                 cross_prob_gate=None, cross_from_cache=False):
+                 cross_prob_gate=None, cross_from_cache=False,
+                 encoder_row_idx=None):
         c = self.config
         x = SelfAttention(c, causal=c.is_decoder, name="attention")(
             hidden, hidden, attention_bias, deterministic, decode)
@@ -233,7 +244,8 @@ class TransformerLayer(nn.Module):
             x = SelfAttention(c, is_cross=True, name="crossattention")(
                 x, encoder_hidden_states, encoder_attention_bias,
                 deterministic, decode, prob_gate=cross_prob_gate,
-                cross_from_cache=cross_from_cache)
+                cross_from_cache=cross_from_cache,
+                kv_row_idx=encoder_row_idx)
         h = nn.Dense(c.intermediate_size, name="intermediate_dense",
                      dtype=c.dtype)(x)
         h = ACT[c.hidden_act](h)
@@ -296,7 +308,7 @@ class TextTransformer(nn.Module):
                  encoder_hidden_states=None, encoder_attention_mask=None,
                  mode="multi_modal", deterministic=True, decode=False,
                  past_length=0, cross_gate=None, cross_gate_layer=None,
-                 cross_from_cache=False):
+                 cross_from_cache=False, encoder_row_idx=None):
         c = self.config
         if inputs_embeds is not None:
             # encoder_embeds path: bypass embeddings entirely
@@ -322,8 +334,13 @@ class TextTransformer(nn.Module):
             ebias_list = [mask_to_bias(m) for m in encoder_attention_mask]
         elif encoder_hidden_states is not None:
             if encoder_attention_mask is None:
+                # per-ROW mask: with encoder_row_idx the states hold the
+                # unique rows, the hidden batch sets the row count
+                nrows = (encoder_row_idx.shape[0]
+                         if encoder_row_idx is not None
+                         else encoder_hidden_states.shape[0])
                 encoder_attention_mask = jnp.ones(
-                    encoder_hidden_states.shape[:2], jnp.int32)
+                    (nrows, encoder_hidden_states.shape[1]), jnp.int32)
             ebias = mask_to_bias(encoder_attention_mask)
 
         if mode == "text":
@@ -336,6 +353,8 @@ class TextTransformer(nn.Module):
         extra = {}
         if cross_from_cache:  # only thread when set: remat-wrapped layers
             extra["cross_from_cache"] = True  # must not see extra kwargs
+        if encoder_row_idx is not None:
+            extra["encoder_row_idx"] = encoder_row_idx
         for i, layer in enumerate(self.layers[lo:hi], start=lo):
             enc, eb = encoder_hidden_states, ebias
             if enc_list is not None:

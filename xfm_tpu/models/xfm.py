@@ -19,6 +19,7 @@ compose this module; see xfm_tpu.models.task_models.
 """
 from __future__ import annotations
 
+import os
 import dataclasses
 from typing import Any, Optional
 
@@ -286,10 +287,16 @@ class XFMBase(nn.Module):
 
     def get_cross_embeds(self, image_embeds, image_atts=None, text_ids=None,
                          text_embeds=None, text_atts=None, is_pretrain=True,
-                         deterministic=True):
+                         deterministic=True, image_row_idx=None):
         """Fusion encoder with image cross-attention
         (reference models/xfm.py:659-680). In pretraining, precomputed text
-        embeds are detached before fusion (reference models/xfm.py:674)."""
+        embeds are detached before fusion (reference models/xfm.py:674).
+
+        `image_row_idx` ([rows] int): image_embeds carries only the unique
+        images; cross k/v are projected once per unique image and gathered
+        per row inside the attention layers (saves ~2/3 of the ITM
+        hard-negative pass' cross-projection FLOPs vs re-projecting the
+        gathered rows as the reference does, models/xfm.py:788-795)."""
         if text_embeds is not None:
             x = jax.lax.stop_gradient(text_embeds) if is_pretrain \
                 else text_embeds
@@ -297,12 +304,12 @@ class XFMBase(nn.Module):
                 inputs_embeds=x, attention_mask=text_atts,
                 encoder_hidden_states=image_embeds,
                 encoder_attention_mask=image_atts,
-                deterministic=deterministic)
+                deterministic=deterministic, encoder_row_idx=image_row_idx)
         return self.fusion_encoder(
             text_ids, attention_mask=text_atts,
             encoder_hidden_states=image_embeds,
             encoder_attention_mask=image_atts,
-            deterministic=deterministic)
+            deterministic=deterministic, encoder_row_idx=image_row_idx)
 
     def get_features(self, image_embeds=None, text_embeds=None):
         """l2-normalized cls projections (reference models/xfm.py:614-621)."""
@@ -338,9 +345,7 @@ class XFMBase(nn.Module):
         image_neg, text_neg = losses.hard_negative_indices(
             rng, image_feat, text_feat, self.clamped_temp(), idx=idx)
 
-        img_emb_neg = jnp.take(image_embeds, image_neg, axis=0)
-        img_atts_neg = (jnp.take(image_atts, image_neg, axis=0)
-                        if image_atts is not None else None)
+        B = text_ids.shape[0]
         txt_ids_neg = jnp.take(text_ids, text_neg, axis=0)
         txt_atts_neg = jnp.take(text_atts, text_neg, axis=0)
         txt_emb_neg = (jnp.take(text_embeds, text_neg, axis=0)
@@ -350,9 +355,28 @@ class XFMBase(nn.Module):
         text_atts_all = jnp.concatenate([text_atts, txt_atts_neg], 0)
         text_embeds_all = (jnp.concatenate([text_embeds, txt_emb_neg], 0)
                            if text_embeds is not None else None)
-        image_embeds_all = jnp.concatenate([img_emb_neg, image_embeds], 0)
-        image_atts_all = (jnp.concatenate([img_atts_neg, image_atts], 0)
-                          if image_atts is not None else None)
+        # Optionally reference images by INDEX into the unique B images for
+        # the neg pass ([text_pos x image_neg ‖ text_neg x image_pos]) so
+        # cross k/v are projected once per unique image. Measured SLOWER
+        # end-to-end at B=48 on v5e (208.9 vs 215.7 samples/s: the per-layer
+        # gathered-k/v materialization + scatter-add backward outweigh the
+        # saved projection matmuls) — off by default, kept for larger
+        # image-token counts where projections dominate.
+        shared_kv = os.environ.get("XFM_SHARED_CROSS_KV", "0") == "1"
+        if shared_kv:
+            row_idx = jnp.concatenate(
+                [image_neg, jnp.arange(B, dtype=image_neg.dtype)], 0)
+            image_embeds_all = image_embeds
+            image_atts_all = (jnp.take(image_atts, row_idx, axis=0)
+                              if image_atts is not None else None)
+        else:
+            row_idx = None
+            img_emb_neg = jnp.take(image_embeds, image_neg, axis=0)
+            image_embeds_all = jnp.concatenate([img_emb_neg, image_embeds],
+                                               0)
+            image_atts_all = (jnp.concatenate(
+                [jnp.take(image_atts, image_neg, axis=0), image_atts], 0)
+                if image_atts is not None else None)
 
         # two fusion passes exactly like the reference (models/xfm.py:788-795)
         # — measured faster than one fused 3B pass on v5e (153.6 vs 145.2
@@ -364,7 +388,8 @@ class XFMBase(nn.Module):
         cross_neg = self.get_cross_embeds(
             image_embeds_all, image_atts_all, text_ids=text_ids_all,
             text_embeds=text_embeds_all, text_atts=text_atts_all,
-            is_pretrain=is_pretrain, deterministic=deterministic)[:, 0, :]
+            is_pretrain=is_pretrain, deterministic=deterministic,
+            image_row_idx=row_idx)[:, 0, :]
 
         logits = self.itm_head(jnp.concatenate([cross_pos, cross_neg], 0))
         bs = cross_pos.shape[0]
@@ -403,17 +428,15 @@ class XFMBase(nn.Module):
         atts_all = jnp.concatenate(
             [text_atts, text_atts,
              jnp.take(text_atts, text_neg, axis=0), text_atts], 0)
-        img_all = jnp.concatenate(
-            [image_embeds, jnp.take(image_embeds, image_neg, axis=0),
-             image_embeds, image_embeds], 0)
-        iatts_all = jnp.concatenate(
-            [image_atts, jnp.take(image_atts, image_neg, axis=0),
-             image_atts, image_atts], 0)
+        ar = jnp.arange(B, dtype=image_neg.dtype)
+        row_idx = jnp.concatenate([ar, image_neg, ar, ar], 0)
+        iatts_all = jnp.take(image_atts, row_idx, axis=0)
 
         hidden = self.fusion_encoder(
             inputs_embeds=emb_all, attention_mask=atts_all,
-            encoder_hidden_states=img_all, encoder_attention_mask=iatts_all,
-            deterministic=deterministic)
+            encoder_hidden_states=image_embeds,
+            encoder_attention_mask=iatts_all,
+            deterministic=deterministic, encoder_row_idx=row_idx)
 
         itm_logits = self.itm_head(hidden[: 3 * B, 0, :])
         labels = jnp.concatenate([jnp.ones(B, jnp.int32),
