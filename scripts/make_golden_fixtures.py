@@ -1,0 +1,244 @@
+"""Generate golden-logit parity fixtures from the reference implementation.
+
+Runs the reference's own torch modules (/root/reference, CPU) with seeded
+random weights on fixed inputs and saves {state_dict, inputs, outputs} so
+tests/test_golden_parity.py can check our Flax modules — loaded through the
+checkpoint importer — reproduce the logits (SURVEY.md §4.1: numerical-parity
+fixtures; the released xfm_1b3.th is not available in this environment, so
+the reference *code* is the oracle).
+
+torchvision/timm are not installed; only the handful of symbols the
+reference imports are stubbed (with faithful implementations where they
+affect numerics — trunc_normal_ never does, weights get re-seeded anyway).
+"""
+import os
+import sys
+import types
+
+import numpy as np
+import torch
+
+OUT = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+                   "tests", "fixtures")
+
+
+def install_stubs():
+    def box_area(b):
+        return (b[:, 2] - b[:, 0]) * (b[:, 3] - b[:, 1])
+
+    tv = types.ModuleType("torchvision")
+    ops = types.ModuleType("torchvision.ops")
+    boxes = types.ModuleType("torchvision.ops.boxes")
+    boxes.box_area = box_area
+    ops.boxes = boxes
+    tv.ops = ops
+
+    timm = types.ModuleType("timm")
+    tmodels = types.ModuleType("timm.models")
+    tlayers = types.ModuleType("timm.models.layers")
+    treg = types.ModuleType("timm.models.registry")
+    tdata = types.ModuleType("timm.data")
+    tconst = types.ModuleType("timm.data.constants")
+    tvit = types.ModuleType("timm.models.vision_transformer")
+
+    def to_2tuple(x):
+        return x if isinstance(x, tuple) else (x, x)
+
+    def trunc_normal_(tensor, mean=0.0, std=1.0, a=-2.0, b=2.0):
+        with torch.no_grad():
+            tensor.normal_(mean, std).clamp_(a * std, b * std)
+        return tensor
+
+    def drop_path(x, drop_prob=0.0, training=False):
+        if drop_prob == 0.0 or not training:
+            return x
+        keep = 1 - drop_prob
+        shape = (x.shape[0],) + (1,) * (x.ndim - 1)
+        mask = keep + torch.rand(shape, dtype=x.dtype, device=x.device)
+        mask.floor_()
+        return x.div(keep) * mask
+
+    class DropPath(torch.nn.Module):
+        def __init__(self, drop_prob=None):
+            super().__init__()
+            self.drop_prob = drop_prob or 0.0
+
+        def forward(self, x):
+            return drop_path(x, self.drop_prob, self.training)
+
+    def register_model(fn):
+        return fn
+
+    tlayers.to_2tuple = to_2tuple
+    tlayers.trunc_normal_ = trunc_normal_
+    tlayers.drop_path = drop_path
+    tlayers.DropPath = DropPath
+    treg.register_model = register_model
+    tconst.IMAGENET_DEFAULT_MEAN = (0.485, 0.456, 0.406)
+    tconst.IMAGENET_DEFAULT_STD = (0.229, 0.224, 0.225)
+
+    def _cfg(**kw):
+        return kw
+
+    class PatchEmbed(torch.nn.Module):  # only referenced by legacy vit.py
+        pass
+
+    tvit._cfg = _cfg
+    tvit.PatchEmbed = PatchEmbed
+    tmodels.layers = tlayers
+    tmodels.registry = treg
+    tmodels.vision_transformer = tvit
+    timm.models = tmodels
+    timm.data = tdata
+    tdata.constants = tconst
+
+    pkgres = types.ModuleType("pkg_resources")
+    pkgres.packaging = types.ModuleType("pkg_resources.packaging")
+    pkgres.packaging.version = types.ModuleType(
+        "pkg_resources.packaging.version")
+    pkgres.packaging.version.parse = lambda s: s
+
+    tvt = types.ModuleType("torchvision.transforms")
+    for name in ("Compose", "Resize", "CenterCrop", "ToTensor", "Normalize"):
+        setattr(tvt, name, type(name, (), {}))
+    tvt.InterpolationMode = type("InterpolationMode", (),
+                                 {"BICUBIC": "bicubic",
+                                  "BILINEAR": "bilinear",
+                                  "NEAREST": "nearest"})
+    tv.transforms = tvt
+
+    import importlib.machinery as _mach
+
+    ftfy = types.ModuleType("ftfy")
+    ftfy.fix_text = lambda s: s
+    ftfy.__spec__ = _mach.ModuleSpec("ftfy", None)
+    regex = types.ModuleType("regex")
+    import re as _re
+    regex.IGNORECASE = _re.IGNORECASE
+
+    def _lazy_compile(pattern, flags=0):
+        # \p{L}-style classes aren't `re`-parseable; the CLIP tokenizer that
+        # compiles them is never exercised by the fixtures
+        try:
+            return _re.compile(pattern, flags)
+        except _re.error:
+            return types.SimpleNamespace(findall=lambda s: [],
+                                         pattern=pattern)
+
+    regex.compile = _lazy_compile
+    regex.__spec__ = _mach.ModuleSpec("regex", None)
+
+    for mod in (tv, ops, boxes, tvt, timm, tmodels, tlayers, treg, tdata,
+                tconst, tvit, pkgres):
+        mod.__spec__ = _mach.ModuleSpec(mod.__name__, None)
+
+    sys.modules.update({
+        "ftfy": ftfy, "regex": regex,
+        "pkg_resources": pkgres,
+        "torchvision": tv, "torchvision.ops": ops,
+        "torchvision.ops.boxes": boxes,
+        "torchvision.transforms": tvt,
+        "timm": timm, "timm.models": tmodels, "timm.models.layers": tlayers,
+        "timm.models.registry": treg, "timm.data": tdata,
+        "timm.data.constants": tconst,
+        "timm.models.vision_transformer": tvit,
+    })
+
+
+def seed_weights(model, seed):
+    g = torch.Generator().manual_seed(seed)
+    sd = model.state_dict()
+    for k in sorted(sd):
+        t = sd[k]
+        if t.dtype.is_floating_point:
+            sd[k] = torch.randn(t.shape, generator=g) * 0.02
+    model.load_state_dict(sd)
+    return model
+
+
+def make_beit():
+    from models.beit2 import VisionTransformer
+    from functools import partial
+    import torch.nn as nn
+
+    torch.manual_seed(0)
+    m = VisionTransformer(
+        img_size=64, patch_size=16, embed_dim=96, depth=3, num_heads=4,
+        mlp_ratio=4, qkv_bias=True,
+        norm_layer=partial(nn.LayerNorm, eps=1e-6), init_values=0.1,
+        use_abs_pos_emb=False, use_rel_pos_bias=True, use_mean_pooling=True,
+        init_scale=0.001, drop_path_rate=0.0)
+    seed_weights(m, 1)
+    m.eval()
+    x = torch.from_numpy(
+        np.random.RandomState(2).randn(2, 3, 64, 64).astype(np.float32))
+    with torch.no_grad():
+        out = m(x)  # forward_avgpool: [B, 1+N, C] ([avgpool ‖ patches])
+    np.savez(
+        os.path.join(OUT, "golden_beit2.npz"),
+        images=x.numpy(),
+        out=out.numpy(),
+        **{f"sd::{k}": v.numpy() for k, v in m.state_dict().items()},
+    )
+    print("beit2 fixture:", out.shape)
+
+
+def make_roberta():
+    # the reference targets transformers 4.x where these lived in
+    # modeling_utils; newer releases moved them to pytorch_utils
+    import transformers.modeling_utils as mu
+    import transformers.pytorch_utils as pu
+
+    for sym in ("apply_chunking_to_forward",
+                "find_pruneable_heads_and_indices", "prune_linear_layer"):
+        if not hasattr(mu, sym):
+            setattr(mu, sym, getattr(pu, sym))
+
+    from models.xroberta import RobertaConfig, RobertaForMaskedLM
+
+    cfg = RobertaConfig(
+        vocab_size=99, hidden_size=48, num_hidden_layers=4,
+        num_attention_heads=4, intermediate_size=96,
+        max_position_embeddings=40, type_vocab_size=1, fusion_layer=2,
+        encoder_width=96, pad_token_id=1, bos_token_id=0, eos_token_id=2,
+        layer_norm_eps=1e-5)  # roberta-base's released value (class default
+        # is 1e-12; the shipped config.json the reference loads uses 1e-5)
+    torch.manual_seed(0)
+    m = RobertaForMaskedLM(cfg)
+    seed_weights(m, 3)
+    m.eval()
+    r = np.random.RandomState(4)
+    ids = r.randint(3, 99, (2, 9)).astype(np.int64)
+    atts = np.ones((2, 9), np.int64)
+    atts[1, 6:] = 0
+    enc = r.randn(2, 5, 96).astype(np.float32)
+    with torch.no_grad():
+        # text-only mode (layers [0, fusion))
+        text_out = m.roberta(
+            torch.from_numpy(ids), attention_mask=torch.from_numpy(atts),
+            mode="text", return_dict=True).last_hidden_state
+        # full multimodal pass + MLM logits with cross-attention
+        mlm_out = m(torch.from_numpy(ids),
+                    attention_mask=torch.from_numpy(atts),
+                    encoder_hidden_states=torch.from_numpy(enc),
+                    encoder_attention_mask=torch.ones(2, 5).long(),
+                    return_dict=True, return_logits=True)
+    np.savez(
+        os.path.join(OUT, "golden_xroberta.npz"),
+        ids=ids, atts=atts, enc=enc,
+        text_out=text_out.numpy(), mlm_logits=mlm_out.numpy(),
+        **{f"sd::{k}": v.numpy() for k, v in m.state_dict().items()},
+    )
+    print("xroberta fixture:", mlm_out.shape)
+
+
+def main():
+    os.makedirs(OUT, exist_ok=True)
+    install_stubs()
+    sys.path.insert(0, "/root/reference")
+    make_beit()
+    make_roberta()
+
+
+if __name__ == "__main__":
+    main()

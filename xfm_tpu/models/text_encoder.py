@@ -34,7 +34,15 @@ import jax.numpy as jnp
 
 from ..ops.attention import dot_product_attention, mask_to_bias, NEG_INF
 
-gelu_exact = partial(jax.nn.gelu, approximate=False)
+def gelu_exact(x):
+    """erf-GELU (torch nn.GELU default, the reference's activation).
+    XFM_GELU_TANH=1 swaps the tanh approximation in (≈1e-3 relative
+    difference; perf A/B knob — see PERF.md)."""
+    import os
+
+    if os.environ.get("XFM_GELU_TANH", "0") == "1":
+        return jax.nn.gelu(x, approximate=True)
+    return jax.nn.gelu(x, approximate=False)
 
 ACT = {
     "gelu": gelu_exact,
