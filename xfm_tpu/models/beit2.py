@@ -35,7 +35,7 @@ import numpy as np
 
 from ..ops.attention import dot_product_attention, remat_policy
 from ..ops.patch_embed import extract_patches
-from .text_encoder import gelu_exact
+
 
 
 @dataclasses.dataclass(frozen=True)
@@ -52,6 +52,8 @@ class VisionConfig:
     use_shared_rel_pos_bias: bool = False
     use_abs_pos_emb: bool = False
     use_mean_pooling: bool = True
+    hidden_act: str = "gelu"        # 'gelu' = erf (reference-faithful);
+                                    # 'gelu_tanh' = TPU-native (see ACT map)
     local_attn_depth: int = -1      # >0: last-k blocks run region attention
     drop_rate: float = 0.0
     attn_drop_rate: float = 0.0
@@ -206,7 +208,9 @@ class BeitBlock(nn.Module):
         h = nn.LayerNorm(epsilon=c.layer_norm_eps, name="norm2",
                          dtype=c.dtype)(x)
         h = nn.Dense(int(C * c.mlp_ratio), name="fc1", dtype=c.dtype)(h)
-        h = gelu_exact(h)
+        from .text_encoder import ACT
+
+        h = ACT[c.hidden_act](h)
         h = nn.Dense(C, name="fc2", dtype=c.dtype)(h)
         h = nn.Dropout(c.drop_rate)(h, deterministic=deterministic)
         if use_ls:

@@ -35,17 +35,20 @@ import jax.numpy as jnp
 from ..ops.attention import dot_product_attention, mask_to_bias, NEG_INF
 
 def gelu_exact(x):
-    """erf-GELU (torch nn.GELU default, the reference's activation).
-    XFM_GELU_TANH=1 swaps the tanh approximation in (≈1e-3 relative
-    difference; perf A/B knob — see PERF.md)."""
-    import os
+    """erf-GELU (torch nn.GELU default — the reference's activation,
+    needed for bit-faithful parity with erf-trained checkpoints).
 
-    if os.environ.get("XFM_GELU_TANH", "0") == "1":
-        return jax.nn.gelu(x, approximate=True)
+    On the TPU VPU erf is COMPUTE-bound at ~2.75x the HBM-bandwidth floor
+    while tanh-GELU runs at the floor (measured: 1117 vs 403 us on
+    [96,197,3072] bf16; 216 -> 244.5 samples/s on the full pretrain step —
+    PERF.md). Configs choose via `hidden_act`: 'gelu' (erf) for fine-tuning
+    released weights, 'gelu_tanh' (flax's own default; the PaLM/ViT-22B
+    choice) for from-scratch TPU pretraining."""
     return jax.nn.gelu(x, approximate=False)
 
 ACT = {
     "gelu": gelu_exact,
+    "gelu_tanh": partial(jax.nn.gelu, approximate=True),
     "gelu_new": partial(jax.nn.gelu, approximate=True),
     "quick_gelu": lambda x: x * jax.nn.sigmoid(1.702 * x),
     "relu": jax.nn.relu,

@@ -137,6 +137,7 @@ def config_from_yaml(config: dict, *, use_contrastive_loss=False,
                        use_rel_pos_bias=True, use_abs_pos_emb=False,
                        init_values=0.1, qkv_bias=True,
                        use_mean_pooling=True, dtype=dtype,
+                       hidden_act=config.get("hidden_act", "gelu"),
                        local_attn_depth=config.get("local_attn_depth", -1),
                        remat=config.get("gradient_checkpointing", False))
         vision = (VisionConfig.beit_large(**base_kw) if large
@@ -157,6 +158,8 @@ def config_from_yaml(config: dict, *, use_contrastive_loss=False,
     mk = TextConfig.roberta_base if is_roberta else TextConfig.bert_base
     n_text = config.get("text_num_hidden_layers", 12)
     tkw = {"remat": config.get("gradient_checkpointing", False)}
+    if config.get("hidden_act"):
+        tkw["hidden_act"] = config["hidden_act"]
     for src, dst in (("text_hidden_size", "hidden_size"),
                      ("text_num_attention_heads", "num_attention_heads"),
                      ("text_intermediate_size", "intermediate_size"),
