@@ -315,3 +315,55 @@ def test_cross_kv_row_idx_matches_gathered_states():
     g1 = jax.grad(loss_ref)(enc)
     g2 = jax.grad(loss_idx)(enc)
     np.testing.assert_allclose(np.asarray(g2), np.asarray(g1), atol=1e-4)
+
+
+def test_fused_itm_mlm_matches_separate_passes():
+    """get_matching_and_fuse_mlm_loss (one 4B-row fusion pass, default on)
+    must be loss-identical to get_matching_loss + get_fuse_mlm_loss given
+    the same hard-negative rng."""
+    from xfm_tpu.models import XFMConfig, config_from_yaml
+    from xfm_tpu.models.xfm import XFMBase
+
+    cfg = config_from_yaml(
+        dict(image_res=32, patch_size=16, vision_embed_dim=32,
+             vision_depth=2, vision_num_heads=2,
+             text_encoder="roberta-base", text_num_hidden_layers=2,
+             text_fusion_start_at=2, fusion_num_hidden_layers=2,
+             fusion_fusion_start_at=0, text_hidden_size=32,
+             text_num_attention_heads=2, text_intermediate_size=64,
+             embed_dim=16, vocab_size=64),
+        use_contrastive_loss=True, use_matching_loss=True,
+        use_mlm_loss=True)
+    m = XFMBase(cfg)
+    rng = jax.random.PRNGKey(0)
+    B, T, M = 4, 7, 3
+    images = jax.random.normal(rng, (B, 32, 32, 3))
+    ids = jax.random.randint(jax.random.PRNGKey(1), (B, T), 3, 60)
+    atts = jnp.ones((B, T), jnp.int32)
+    ids_m = jax.random.randint(jax.random.PRNGKey(2), (B, T), 3, 60)
+    mpos = jnp.tile(jnp.arange(M)[None], (B, 1))
+    mids = jax.random.randint(jax.random.PRNGKey(3), (B, M), 3, 60)
+
+    params = m.init({"params": jax.random.PRNGKey(4)}, images, ids, atts,
+                    method=XFMBase.init_all)["params"]
+
+    def both(mod):
+        img = mod.get_vision_embeds(images, deterministic=True)
+        iatts = jnp.ones(img.shape[:2], jnp.int32)
+        txt = mod.get_text_embeds(ids, atts, True)
+        img_f, txt_f = mod.get_features(img, txt)
+        hrng = jax.random.PRNGKey(7)
+        fused = mod.get_matching_and_fuse_mlm_loss(
+            hrng, img, iatts, img_f, ids, atts, txt_f, txt, ids_m, mpos,
+            mids, deterministic=True)
+        sep_itm = mod.get_matching_loss(hrng, img, iatts, img_f, ids, atts,
+                                        txt_f, text_embeds=txt,
+                                        deterministic=True)
+        sep_mlm = mod.get_fuse_mlm_loss(ids_m, atts, img, iatts, mpos,
+                                        mids, deterministic=True)
+        return fused, (sep_itm, sep_mlm)
+
+    (f_itm, f_mlm), (s_itm, s_mlm) = m.apply({"params": params},
+                                             method=both)
+    np.testing.assert_allclose(float(f_itm), float(s_itm), atol=1e-5)
+    np.testing.assert_allclose(float(f_mlm), float(s_mlm), atol=1e-5)

@@ -348,7 +348,8 @@ def main_pipeline(args, config=None):
         return main_domain_pretrain(args, config)
     if getattr(args, "load_ckpt_from", None) and not args.checkpoint:
         args.checkpoint = args.load_ckpt_from
-    return main(args, config)
+    # `scst: true` = the reference's Captioning_scst.py stage
+    return main(args, config, scst=bool(cfg.get("scst", False)))
 
 
 def main_infer(args, config=None):
