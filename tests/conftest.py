@@ -3,6 +3,14 @@ without a TPU pod (SURVEY.md §4.3 strategy)."""
 import os
 
 os.environ["JAX_PLATFORMS"] = "cpu"  # force: the shell env pins a TPU platform
+# Tasks default to bf16 compute (the product path); on the CPU test backend
+# bf16 is emulated and slow, and parity tolerances assume f32 — force f32
+# here. Precision-specific tests override via explicit `compute_dtype` keys.
+os.environ.setdefault("XFM_COMPUTE_DTYPE", "float32")
+# No network egress in CI: skip huggingface-hub retry storms (5 retries x
+# several files ≈ minutes per tokenizer miss) and go straight to cache or
+# the SimpleTokenizer fallback.
+os.environ.setdefault("HF_HUB_OFFLINE", "1")
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (

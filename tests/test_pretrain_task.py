@@ -1,5 +1,7 @@
 """Multi-stream pretraining e2e smoke (reference Pretrain.py flow):
-image-text + text-only streams, a few jitted steps, checkpoint written."""
+image-text + text-only streams, a few jitted steps, checkpoint written.
+Variants cover the scan-stepped dispatch (`dispatch_steps`) and the
+bf16-live-params/fp32-master path (`bf16_params`)."""
 import base64
 import io
 import json
@@ -12,8 +14,7 @@ import yaml
 from PIL import Image
 
 
-@pytest.mark.slow
-def test_pretrain_two_streams(tmp_path):
+def _write_streams(tmp_path):
     rng = np.random.default_rng(0)
     with open(tmp_path / "pairs.jsonl", "w") as f:
         for i in range(16):
@@ -28,7 +29,9 @@ def test_pretrain_two_streams(tmp_path):
             f.write(json.dumps({"desc": f"plain text line {i} with several "
                                         f"words to mask"}) + "\n")
 
-    cfg = dict(
+
+def _base_cfg(tmp_path):
+    return dict(
         text_encoder="roberta-base", text_num_hidden_layers=2,
         text_fusion_start_at=2, fusion_num_hidden_layers=2,
         fusion_fusion_start_at=0, text_hidden_size=32,
@@ -51,6 +54,12 @@ def test_pretrain_two_streams(tmp_path):
         optimizer={"lr": 1e-4, "weight_decay": 0.01, "lr_mult": 2},
         use_mm_mim_loss=True,
     )
+
+
+def _run(tmp_path, extra_cfg=None):
+    _write_streams(tmp_path)
+    cfg = _base_cfg(tmp_path)
+    cfg.update(extra_cfg or {})
     cfg_path = tmp_path / "pt.yaml"
     yaml.safe_dump(cfg, open(cfg_path, "w"))
 
@@ -60,9 +69,43 @@ def test_pretrain_two_streams(tmp_path):
                                  output_dir=str(tmp_path / "out"),
                                  checkpoint=None, evaluate=False, bs=None,
                                  epoch=None, seed=0)
-    stats = pretrain.main(args)
+    return pretrain.main(args)
+
+
+@pytest.mark.slow
+def test_pretrain_two_streams(tmp_path):
+    stats = _run(tmp_path)
     # both streams contributed losses
     assert stats.get("image_loss_itc", 0) > 0
     assert stats.get("text_loss_mlm", 0) > 0
     assert os.path.isdir(tmp_path / "out" / "ckpt")
     assert os.path.exists(tmp_path / "out" / "log.txt")
+
+
+@pytest.mark.slow
+def test_pretrain_dispatch_steps_scan(tmp_path):
+    """K=2 steps per dispatch (scan) with the text stream stepped separately
+    — both scanned paths — plus bf16 live params with fp32 master."""
+    stats = _run(tmp_path, dict(dispatch_steps=2, max_steps=4,
+                                ckpt_frequent_step=4,
+                                text_step_separate=True, bf16_params=True))
+    assert stats.get("image_loss_itc", 0) > 0
+    assert stats.get("text_loss_mlm", 0) > 0
+    assert np.isfinite(stats.get("loss", np.inf))
+    assert os.path.isdir(tmp_path / "out" / "ckpt")
+
+
+@pytest.mark.slow
+def test_pretrain_vqkd_tokenizer_mim(tmp_path):
+    """`use_vision_tokenizer: true` end-to-end: the pretrain task builds the
+    frozen VQ-KD tokenizer, computes code ids per image batch, and MIM takes
+    the CE branch (reference models/xfm.py:104-112,625-629)."""
+    stats = _run(tmp_path, dict(
+        use_vision_tokenizer=True,
+        tokenizer_model="vqkd_encoder_base_decoder_1x768x12_clip",
+        tokenizer_embed_dim=32, tokenizer_depth=1, tokenizer_num_heads=2,
+        codebook_size=32, codebook_dim=8, max_steps=2, ckpt_frequent_step=2))
+    assert stats.get("image_loss_mim", 0) > 0
+    # CE over a 32-code codebook at random init ≈ ln(32); MSE MIM would not
+    # sit in this range
+    assert 1.0 < stats["image_loss_mim"] < 6.0

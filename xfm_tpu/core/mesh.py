@@ -34,10 +34,27 @@ TENSOR_AXIS = "tensor"
 BATCH_AXES = (DATA_AXIS, FSDP_AXIS)
 
 
+_MULTIHOST_HINTS = (
+    # Env vars that indicate a multi-host pod launch; any present → we must
+    # join the coordination service or the documented CLI would silently run
+    # single-process per host.
+    "COORDINATOR_ADDRESS", "JAX_COORDINATOR_ADDRESS",
+    "MEGASCALE_COORDINATOR_ADDRESS", "TPU_WORKER_HOSTNAMES", "CLOUD_TPU_TASK_ID",
+)
+
+
 def maybe_init_distributed() -> None:
     """Multi-host init: single call replacing the reference's env-var/TCP NCCL
-    rendezvous (reference utils/__init__.py:388-410). No-op on one host."""
-    if os.environ.get("XFM_MULTIHOST", "0") == "1" and jax.process_count() == 1:
+    rendezvous (reference utils/__init__.py:388-410).
+
+    Auto-detects pod launches from standard coordinator env vars;
+    XFM_MULTIHOST=1 forces init, XFM_MULTIHOST=0 disables it. No-op when
+    already initialized or single-host."""
+    flag = os.environ.get("XFM_MULTIHOST")
+    if flag == "0":
+        return
+    hinted = any(os.environ.get(k) for k in _MULTIHOST_HINTS)
+    if (flag == "1" or hinted) and jax.process_count() == 1:
         try:
             jax.distributed.initialize()
         except Exception:
@@ -71,6 +88,23 @@ def mesh_from_config(config: dict, devices=None) -> Mesh:
     )
 
 
+def constrain_batch_sharding(x):
+    """Pin dim 0 of `x` to the batch axes via with_sharding_constraint when
+    a mesh carrying those axes is active; no-op otherwise (single-device
+    bench/tests, meshless jit). Use at batch-concat seams — the fused 2B
+    vision pair pass and 4B fusion pass — where GSPMD otherwise changes the
+    batch-axis sharding mid-graph and XLA falls back to an involuntary full
+    rematerialization (replicate + repartition)."""
+    try:
+        m = jax.sharding.get_abstract_mesh()
+    except Exception:
+        return x
+    if m is None or m.empty or DATA_AXIS not in m.axis_names:
+        return x
+    spec = P(BATCH_AXES, *([None] * (x.ndim - 1)))
+    return jax.lax.with_sharding_constraint(x, spec)
+
+
 def batch_sharding(mesh: Mesh) -> NamedSharding:
     """Leading-dim batch sharding over (data, fsdp)."""
     return NamedSharding(mesh, P(BATCH_AXES))
@@ -80,11 +114,13 @@ def replicated(mesh: Mesh) -> NamedSharding:
     return NamedSharding(mesh, P())
 
 
-def shard_batch(mesh: Mesh, batch):
-    """Device_put a host batch with the leading dim batch-sharded; arrays
-    whose leading dim doesn't divide the batch axes (e.g. remainder eval
-    batches) are replicated instead."""
-    sh = batch_sharding(mesh)
+def shard_batch(mesh: Mesh, batch, batch_axis: int = 0):
+    """Device_put a host batch with dim `batch_axis` batch-sharded; arrays
+    whose batch dim doesn't divide the batch axes (e.g. remainder eval
+    batches) are replicated instead. `batch_axis=1` serves K-steps-stacked
+    batches ([K, B, ...], see train_state.make_multi_train_step)."""
+    sh = (batch_sharding(mesh) if batch_axis == 0 else
+          NamedSharding(mesh, P(*([None] * batch_axis + [BATCH_AXES]))))
     rep = replicated(mesh)
     axis_sizes = dict(zip(mesh.axis_names, mesh.devices.shape))
     nbatch = axis_sizes.get(DATA_AXIS, 1) * axis_sizes.get(FSDP_AXIS, 1)
@@ -93,7 +129,8 @@ def shard_batch(mesh: Mesh, batch):
         if x is None:
             return None
         shape = getattr(x, "shape", ())
-        if len(shape) >= 1 and shape[0] % nbatch == 0 and shape[0] > 0:
+        if (len(shape) > batch_axis and shape[batch_axis] % nbatch == 0
+                and shape[batch_axis] > 0):
             return jax.device_put(x, sh)
         return jax.device_put(x, rep)
 

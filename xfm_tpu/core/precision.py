@@ -55,12 +55,18 @@ def enable_f32_parity() -> None:
 
 
 def policy_from_config(config: dict) -> Policy:
-    """YAML `accelerator:` block compatibility: FP16_OPT_LEVEL O0 → fp32,
-    anything else → bf16 compute (reference configs set O1)."""
+    """Resolve the compute policy for the task path. Precedence:
+    explicit `compute_dtype` YAML key > XFM_COMPUTE_DTYPE env (the test
+    harness forces float32 on CPU) > `accelerator:` block compatibility
+    (FP16_OPT_LEVEL O0 → fp32; reference configs set O1 → mixed precision,
+    reference accelerators/apex_ddp_accelerator.py:81-87) > bf16 default."""
+    import os
+
+    cd = config.get("compute_dtype") or os.environ.get("XFM_COMPUTE_DTYPE")
+    if cd:
+        return FULL_F32 if str(cd) in ("float32", "fp32", "f32") else DEFAULT
     acc = config.get("accelerator", {}) or {}
     if str(acc.get("FP16_OPT_LEVEL", "O1")).upper() == "O0":
-        return FULL_F32
-    if config.get("compute_dtype") == "float32":
         return FULL_F32
     return DEFAULT
 

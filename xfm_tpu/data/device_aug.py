@@ -44,6 +44,17 @@ def _one_crop(rng, img, out_size, scale, ratio):
     return out
 
 
+def maybe_normalize(images):
+    """uint8 images → CLIP-normalized float32 ON DEVICE; float input passes
+    through unchanged. Streams emit uint8 when the native loader is active:
+    host-side normalize cost (~0.9 ms/image on one core) disappears and the
+    host→device transfer shrinks 4x. Trace-safe (dtype is static)."""
+    if jnp.issubdtype(images.dtype, jnp.integer):
+        x = images.astype(jnp.float32) / 255.0
+        return (x - jnp.asarray(CLIP_MEAN)) / jnp.asarray(CLIP_STD)
+    return images
+
+
 @partial(jax.jit, static_argnames=("out_size", "scale", "ratio", "train"))
 def augment_batch(rng, images_u8, out_size: int = 224,
                   scale: tuple = (0.5, 1.0), ratio: tuple = (0.75, 4 / 3),

@@ -15,6 +15,7 @@ models/beit2.py:431-441).
 """
 from __future__ import annotations
 
+import base64
 import copy
 import re
 from typing import Iterator, Optional
@@ -141,6 +142,63 @@ class ImageTextStream:
         self.block_masker = BlockMaskingGenerator(
             grid, config.get("num_masking_patches", 75),
             config.get("min_num_patches", 16), rng=self.rng)
+        # C++ loader path (reference gets input parallelism from DataLoader
+        # worker processes, dataset/__init__.py:221-246): threaded native
+        # decode + planned RandAugment when `num_workers` > 0 and the
+        # transform is a TrainTransform-shaped object.
+        self.native_batch = None
+        workers = sub.get("num_workers", 0)
+        if workers and hasattr(transform, "randaug"):
+            from .transforms import NativeBatchTransform
+
+            self.native_batch = NativeBatchTransform.maybe_build(
+                transform, workers)
+
+    def _blob(self, ann) -> bytes:
+        """Raw encoded image bytes for the native decode path."""
+        v = ann[self.image_key]
+        if self.is_image_rpath:
+            with open(v, "rb") as f:
+                return f.read()
+        v = _maybe_b64(v, self.rng)
+        if isinstance(v, str):
+            return base64.b64decode(v)
+        return bytes(v)
+
+    def _iter_native(self) -> Iterator[dict]:
+        nbt = self.native_batch
+        blobs: list = []
+        dims: list = []
+        caps: list = []
+        for ann in self.reader.iter_json():
+            try:
+                caption = _get_caption(ann[self.caption_key], self.rng,
+                                       self.language)
+                blob = self._blob(ann)
+                d = nbt.probe(blob)
+                if d is None:
+                    raise ValueError("undecodable image")
+            except Exception as e:  # broken sample: skip
+                if self.print_broken:
+                    print(f"broken sample skipped: {e}", flush=True)
+                continue
+            blobs.append(blob)
+            dims.append(d)
+            caps.append(caption)
+            if len(blobs) == self.batch_size:
+                images = nbt(blobs, dims)
+                if images is not None:
+                    enc = [self.prep.encode_masked(c) for c in caps]
+                    ids, atts, idsm, mpos, mids = (np.stack(z)
+                                                   for z in zip(*enc))
+                    batch = dict(images=images, text_ids=ids, text_atts=atts,
+                                 text_ids_masked=idsm, masked_pos=mpos,
+                                 masked_ids=mids)
+                    if self.with_image_mask:
+                        batch["image_mask"] = self.block_masker.batch(
+                            self.batch_size)
+                    yield batch
+                blobs, dims, caps = [], [], []
 
     def examples(self) -> Iterator[dict]:
         for ann in self.reader.iter_json():
@@ -161,6 +219,9 @@ class ImageTextStream:
                     print(f"broken sample skipped: {e}", flush=True)
 
     def __iter__(self) -> Iterator[dict]:
+        if self.native_batch is not None:
+            yield from self._iter_native()
+            return
         buf: list[dict] = []
         for ex in self.examples():
             buf.append(ex)
@@ -419,8 +480,45 @@ class ImageStream:
         self.block_masker = BlockMaskingGenerator(
             grid, config.get("num_masking_patches", 75),
             config.get("min_num_patches", 16), rng=self.rng)
+        self.native_batch = None
+        workers = sub.get("num_workers", 0)
+        if workers and hasattr(transform, "randaug"):
+            from .transforms import NativeBatchTransform
+
+            self.native_batch = NativeBatchTransform.maybe_build(
+                transform, workers)
+
+    def _blob(self, ann) -> bytes:
+        v = ann[self.image_key]
+        if self.is_image_rpath:
+            with open(v, "rb") as f:
+                return f.read()
+        if isinstance(v, str):
+            return base64.b64decode(v)
+        return bytes(v)
 
     def __iter__(self) -> Iterator[dict]:
+        if self.native_batch is not None:
+            nbt = self.native_batch
+            blobs, dims = [], []
+            for ann in self.reader.iter_json():
+                try:
+                    blob = self._blob(ann)
+                    d = nbt.probe(blob)
+                    if d is None:
+                        raise ValueError("undecodable image")
+                except Exception:
+                    continue
+                blobs.append(blob)
+                dims.append(d)
+                if len(blobs) == self.batch_size:
+                    images = nbt(blobs, dims)
+                    if images is not None:
+                        yield dict(images=images,
+                                   image_mask=self.block_masker.batch(
+                                       self.batch_size))
+                    blobs, dims = [], []
+            return
         buf = []
         for ann in self.reader.iter_json():
             try:

@@ -37,10 +37,6 @@ def _solarize_arg(level):
     return int((level / MAX_LEVEL) * 256)
 
 
-def _maybe_sign(rng, v):
-    return -v if rng.random() < 0.5 else v
-
-
 class RandomAugment:
     DEFAULT_AUGS = ("Identity", "AutoContrast", "Equalize", "Brightness",
                     "Sharpness", "ShearX", "ShearY", "TranslateX",
@@ -54,8 +50,32 @@ class RandomAugment:
 
     # --- ops ---------------------------------------------------------------
 
-    def _apply(self, img: Image.Image, name: str) -> Image.Image:
+    def plan(self, rng: np.random.Generator | None = None):
+        """Draw ALL randomness for one image up front → list of (name, sign)
+        ops. Lets `apply_plan` run rng-free on a worker thread (the shared
+        np Generator is not thread-safe; PIL ops release the GIL)."""
+        r = rng or self.rng
+        ops = r.choice(len(self.augs), self.N)
+        planned = []
+        for i in ops:
+            skip = r.random() > 0.5
+            sign = -1 if r.random() < 0.5 else 1
+            if not skip:
+                planned.append((self.augs[int(i)], sign))
+        return planned
+
+    def apply_plan(self, img, planned) -> Image.Image:
+        if isinstance(img, np.ndarray):
+            img = Image.fromarray(img.astype(np.uint8))
+        for name, sign in planned:
+            img = self._apply(img, name, sign=sign)
+        return img
+
+    def _apply(self, img: Image.Image, name: str,
+               sign: int | None = None) -> Image.Image:
         r, lvl = self.rng, self.M
+        if sign is None:
+            sign = -1 if r.random() < 0.5 else 1
         if name == "Identity":
             return img
         if name == "AutoContrast":
@@ -75,22 +95,22 @@ class RandomAugment:
                    "Sharpness": ImageEnhance.Sharpness}[name]
             return enh(img).enhance(_enhance_arg(lvl))
         if name == "Rotate":
-            return img.rotate(_maybe_sign(r, _rotate_arg(lvl)),
+            return img.rotate(sign * _rotate_arg(lvl),
                               resample=Image.BILINEAR, fillcolor=REPLACE)
         if name == "ShearX":
-            s = _maybe_sign(r, _shear_arg(lvl))
+            s = sign * _shear_arg(lvl)
             return img.transform(img.size, Image.AFFINE, (1, s, 0, 0, 1, 0),
                                  resample=Image.BILINEAR, fillcolor=REPLACE)
         if name == "ShearY":
-            s = _maybe_sign(r, _shear_arg(lvl))
+            s = sign * _shear_arg(lvl)
             return img.transform(img.size, Image.AFFINE, (1, 0, 0, s, 1, 0),
                                  resample=Image.BILINEAR, fillcolor=REPLACE)
         if name == "TranslateX":
-            t = _maybe_sign(r, _translate_arg(lvl, img.size[0] // 3))
+            t = sign * _translate_arg(lvl, img.size[0] // 3)
             return img.transform(img.size, Image.AFFINE, (1, 0, t, 0, 1, 0),
                                  resample=Image.BILINEAR, fillcolor=REPLACE)
         if name == "TranslateY":
-            t = _maybe_sign(r, _translate_arg(lvl, img.size[1] // 3))
+            t = sign * _translate_arg(lvl, img.size[1] // 3)
             return img.transform(img.size, Image.AFFINE, (1, 0, 0, 0, 1, t),
                                  resample=Image.BILINEAR, fillcolor=REPLACE)
         raise ValueError(name)

@@ -49,11 +49,11 @@ def normalize(arr: np.ndarray) -> np.ndarray:
     return (arr.astype(np.float32) / 255.0 - CLIP_MEAN) / CLIP_STD
 
 
-def random_resized_crop(img: Image.Image, size: int, scale=(0.5, 1.0),
-                        ratio=(3 / 4, 4 / 3),
-                        rng: np.random.Generator | None = None) -> Image.Image:
+def crop_box(w: int, h: int, scale=(0.5, 1.0), ratio=(3 / 4, 4 / 3),
+             rng: np.random.Generator | None = None):
+    """(x, y, cw, ch) with the RandomResizedCrop distribution; center-crop
+    fallback after 10 rejected draws (torchvision semantics)."""
     rng = rng or np.random.default_rng()
-    w, h = img.size
     area = w * h
     for _ in range(10):
         target = rng.uniform(*scale) * area
@@ -64,12 +64,18 @@ def random_resized_crop(img: Image.Image, size: int, scale=(0.5, 1.0),
         if 0 < cw <= w and 0 < ch <= h:
             x = int(rng.integers(0, w - cw, endpoint=True))
             y = int(rng.integers(0, h - ch, endpoint=True))
-            return img.resize((size, size), Image.BICUBIC,
-                              box=(x, y, x + cw, y + ch))
-    # fallback: center crop
+            return x, y, cw, ch
     s = min(w, h)
-    x, y = (w - s) // 2, (h - s) // 2
-    return img.resize((size, size), Image.BICUBIC, box=(x, y, x + s, y + s))
+    return (w - s) // 2, (h - s) // 2, s, s
+
+
+def random_resized_crop(img: Image.Image, size: int, scale=(0.5, 1.0),
+                        ratio=(3 / 4, 4 / 3),
+                        rng: np.random.Generator | None = None) -> Image.Image:
+    w, h = img.size
+    x, y, cw, ch = crop_box(w, h, scale, ratio, rng)
+    return img.resize((size, size), Image.BICUBIC,
+                      box=(x, y, x + cw, y + ch))
 
 
 class TrainTransform:
@@ -99,8 +105,86 @@ class TrainTransform:
         return normalize(np.asarray(img, np.uint8))
 
 
+class NativeBatchTransform:
+    """TrainTransform over raw encoded blobs via the C++ loader
+    (xfm_tpu/native/loader.cpp): threaded decode + crop + hflip in native
+    code, RandAugment pre-planned on the admission thread and applied by a
+    GIL-releasing PIL thread pool, then CLIP normalize. Replaces the
+    reference's DataLoader-worker PIL pipeline
+    (reference dataset/__init__.py:221-246) with host-thread parallelism.
+
+    Equivalent to the PIL TrainTransform up to the resize filter (native
+    bilinear vs PIL bicubic) — pinned by tests/test_data.py."""
+
+    def __init__(self, train_transform: "TrainTransform", workers: int = 8,
+                 emit_uint8: bool = True):
+        from concurrent.futures import ThreadPoolExecutor
+
+        from .. import native
+
+        self.native = native
+        self.image_res = train_transform.image_res
+        self.scale = train_transform.scale
+        self.hflip = train_transform.hflip
+        self.randaug = train_transform.randaug
+        self.rng = train_transform.rng
+        self.workers = max(1, workers)
+        self.pool = ThreadPoolExecutor(self.workers)
+        # uint8 batches: CLIP-normalize runs on device
+        # (models get_vision_embeds → device_aug.maybe_normalize) — saves
+        # host float math and 4x of host→device transfer.
+        self.emit_uint8 = emit_uint8
+
+    @classmethod
+    def maybe_build(cls, train_transform, workers: int):
+        """→ instance, or None when the native loader is unavailable or
+        disabled (XFM_NATIVE_LOADER=0) or workers <= 0."""
+        import os
+
+        from .. import native
+
+        if workers <= 0 or os.environ.get("XFM_NATIVE_LOADER", "1") == "0":
+            return None
+        if not native.available():
+            return None
+        return cls(train_transform, workers)
+
+    def probe(self, blob: bytes):
+        """(w, h) via header parse, or None for undecodable data — the
+        broken-sample skip happens at admission time."""
+        return self.native.image_dims(blob, fast=True)
+
+    def __call__(self, blobs: list, dims: list) -> np.ndarray | None:
+        n = len(blobs)
+        crops = np.asarray(
+            [crop_box(w, h, self.scale, rng=self.rng) for w, h in dims],
+            np.int32)
+        hflips = ((self.rng.random(n) < 0.5).astype(np.int32)
+                  if self.hflip else np.zeros((n,), np.int32))
+        u8, status = self.native.decode_batch(
+            blobs, self.image_res, crops, hflips, threads=self.workers,
+            return_status=True)
+        good = np.flatnonzero(status == 0)
+        if good.size == 0:
+            return None
+        for j, i in enumerate(np.flatnonzero(status != 0)):
+            u8[i] = u8[good[j % good.size]]  # substitute, keep batch static
+        if self.randaug is None:
+            return u8 if self.emit_uint8 else normalize(u8)
+        plans = [self.randaug.plan(self.rng) for _ in range(n)]
+
+        def one(i):
+            img = np.asarray(self.randaug.apply_plan(u8[i], plans[i]),
+                             np.uint8)
+            return img if self.emit_uint8 else normalize(img)
+
+        return np.stack(list(self.pool.map(one, range(n))))
+
+
 class TestTransform:
     """Resize + normalize (reference dataset/__init__.py:64-68)."""
+
+    __test__ = False  # not a pytest class (silences collection warning)
 
     def __init__(self, image_res: int):
         self.image_res = image_res

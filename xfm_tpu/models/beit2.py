@@ -319,8 +319,15 @@ class BeitVisionTransformer(nn.Module):
         measurably better MXU utilization than two B-row passes.
         Returns (full_embeds, masked_embeds), each [B, 1+N, C].
         """
-        x = self._patch_tokens(images)
-        x2 = jnp.concatenate([x, self._apply_mim_mask(x, mask)], axis=0)
+        from ..core.mesh import constrain_batch_sharding
+
+        # keep every seam of the 2B concat batch-sharded — without the
+        # constraints GSPMD re-lays the batch axis across the concat and XLA
+        # inserts involuntary full rematerializations (MULTICHIP_r01 warning)
+        x = constrain_batch_sharding(self._patch_tokens(images))
+        masked = constrain_batch_sharding(self._apply_mim_mask(x, mask))
+        x2 = constrain_batch_sharding(
+            jnp.concatenate([x, masked], axis=0))
         full, _ = self._encode(self._add_cls(x2), deterministic)
         B = images.shape[0]
         return full[:B], full[B:]

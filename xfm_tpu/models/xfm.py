@@ -85,9 +85,19 @@ class XFMConfig:
 
 def config_from_yaml(config: dict, *, use_contrastive_loss=False,
                      use_matching_loss=False, use_mlm_loss=False,
-                     use_bbox_loss=False, dtype=jnp.float32) -> XFMConfig:
+                     use_bbox_loss=False, dtype=None) -> XFMConfig:
     """Build XFMConfig from the reference YAML schema
-    (mirrors reference models/xfm.py:124-255,258-405 builder logic)."""
+    (mirrors reference models/xfm.py:124-255,258-405 builder logic).
+
+    dtype=None resolves the COMPUTE dtype from the config's precision policy
+    (core.precision.policy_from_config) — bf16 compute by default, matching
+    the reference's apex O1 default for the same workloads
+    (reference configs/xfm-pt/Pretrain_XBrain_base_4m.yaml:118). Params stay
+    fp32 (flax param_dtype default)."""
+    if dtype is None:
+        from ..core.precision import policy_from_config
+
+        dtype = policy_from_config(config).compute_dtype
     vision_cfg_json = config.get("_vision", {})
     image_res = config.get("image_res", 224)
     if config.get("use_clip_vit", False):
@@ -263,17 +273,31 @@ class XFMBase(nn.Module):
     def get_vision_embeds(self, images, mask=None, idx_to_group_img=None,
                           image_atts=None, deterministic=True):
         """→ [B, 1+num_patches, vision_width] ([avgpool ‖ patches]);
-        reference models/xfm.py:560-597 / models/beit2.py:423-475."""
-        return self.vision_encoder(images, mask=mask,
-                                   idx_to_group_img=idx_to_group_img,
-                                   image_atts=image_atts,
-                                   deterministic=deterministic)
+        reference models/xfm.py:560-597 / models/beit2.py:423-475.
+        uint8 input is CLIP-normalized on device (native-loader streams)."""
+        from ..data.device_aug import maybe_normalize
+
+        images = maybe_normalize(images)
+        out = self.vision_encoder(images, mask=mask,
+                                  idx_to_group_img=idx_to_group_img,
+                                  image_atts=image_atts,
+                                  deterministic=deterministic)
+        if idx_to_group_img is not None:
+            # region mode: expand the full-attention rows to one per region
+            # (reference models/xfm.py:591-596 torch.gather to bsz)
+            grouped, full = out
+            full = jnp.take(full, idx_to_group_img, axis=0)
+            return grouped, full
+        return out
 
     def get_vision_embeds_pair(self, images, mask, deterministic=True):
         """(full, MIM-masked) vision embeds of the same images, fused into
         one 2B-row pass when the vision encoder supports it (BEiT-2).
         Replaces the reference's two separate vision forwards per pretrain
         batch (reference models/model_pretrain.py:30-77)."""
+        from ..data.device_aug import maybe_normalize
+
+        images = maybe_normalize(images)
         if hasattr(self.vision_encoder, "pair"):
             return self.vision_encoder.pair(images, mask,
                                             deterministic=deterministic)
@@ -424,10 +448,12 @@ class XFMBase(nn.Module):
             enc_masked = jax.lax.stop_gradient(enc_masked)
         text_embeds = jax.lax.stop_gradient(text_embeds)
 
+        from ..core.mesh import constrain_batch_sharding
+
         # rows: [pos(B) ‖ text_pos×image_neg(B) ‖ text_neg×image_pos(B) ‖ mlm(B)]
-        emb_all = jnp.concatenate(
+        emb_all = constrain_batch_sharding(jnp.concatenate(
             [text_embeds, text_embeds,
-             jnp.take(text_embeds, text_neg, axis=0), enc_masked], 0)
+             jnp.take(text_embeds, text_neg, axis=0), enc_masked], 0))
         atts_all = jnp.concatenate(
             [text_atts, text_atts,
              jnp.take(text_atts, text_neg, axis=0), text_atts], 0)
@@ -483,6 +509,12 @@ class XFMBase(nn.Module):
         is configured, else feature-regression MSE against the unmasked
         forward."""
         if self.config.use_vision_tokenizer:
+            if vqkd_code_ids is None:
+                raise ValueError(
+                    "use_vision_tokenizer=True: MIM needs vqkd_code_ids "
+                    "from the frozen VQ-KD tokenizer (the pretrain task "
+                    "computes them when the YAML sets use_vision_tokenizer "
+                    "+ tokenizer_model; reference models/xfm.py:625-629)")
             logits = self.mim_lm_head(image_embeds_masked[:, 1:, :])
             return losses.mim_vqkd_loss(logits, vqkd_code_ids, mask)
         return losses.mim_mse_loss(image_embeds_masked, targets, mask,

@@ -59,6 +59,12 @@ def get_lib():
             ctypes.c_char_p, ctypes.c_long, ctypes.POINTER(ctypes.c_int),
             ctypes.POINTER(ctypes.c_int),
         ]
+        lib.xfm_image_dims_fast.restype = ctypes.c_int
+        lib.xfm_image_dims_fast.argtypes = lib.xfm_image_dims.argtypes
+        lib.xfm_decode_batch_status.restype = ctypes.c_int
+        lib.xfm_decode_batch_status.argtypes = (
+            list(lib.xfm_decode_batch.argtypes)
+            + [ctypes.POINTER(ctypes.c_int)])
         _lib = lib
         return _lib
 
@@ -67,12 +73,19 @@ def available() -> bool:
     return get_lib() is not None
 
 
-def image_dims(data: bytes):
+def image_dims(data: bytes, fast: bool = False):
+    """(w, h) of an encoded image, or None if undecodable. `fast=True`
+    parses headers only (JPEG SOF / PNG IHDR) — a cheap validity+size probe
+    for batch admission; falls back to the full decode when header parsing
+    fails (e.g. exotic marker layouts)."""
     lib = get_lib()
     if lib is None:
         return None
     w = ctypes.c_int()
     h = ctypes.c_int()
+    if fast and lib.xfm_image_dims_fast(data, len(data), ctypes.byref(w),
+                                        ctypes.byref(h)) == 0:
+        return w.value, h.value
     if lib.xfm_image_dims(data, len(data), ctypes.byref(w),
                           ctypes.byref(h)) != 0:
         return None
@@ -82,13 +95,15 @@ def image_dims(data: bytes):
 def decode_batch(blobs: list[bytes], out_size: int,
                  crops: np.ndarray | None = None,
                  hflips: np.ndarray | None = None,
-                 threads: int | None = None) -> np.ndarray | None:
+                 threads: int | None = None,
+                 return_status: bool = False):
     """Threaded decode+crop+resize. blobs: encoded JPEG/PNG bytes.
     crops: [B,4] int32 (x,y,w,h; w<=0 = full frame). → uint8 [B,S,S,3],
-    or None when the native path is unavailable."""
+    or None when the native path is unavailable. With `return_status=True`
+    returns (images, status[B] int32: 0 ok / 1 failed-and-zero-filled)."""
     lib = get_lib()
     if lib is None:
-        return None
+        return (None, None) if return_status else None
     n = len(blobs)
     if crops is None:
         crops = np.zeros((n, 4), np.int32)
@@ -97,17 +112,21 @@ def decode_batch(blobs: list[bytes], out_size: int,
     crops = np.ascontiguousarray(crops, np.int32)
     hflips = np.ascontiguousarray(hflips, np.int32)
     out = np.empty((n, out_size, out_size, 3), np.uint8)
+    status = np.zeros((n,), np.int32)
     arr_t = ctypes.c_char_p * n
     datas = arr_t(*blobs)
     lens = (ctypes.c_long * n)(*[len(b) for b in blobs])
     if threads is None:
         threads = min(max(os.cpu_count() or 4, 1), 16)
-    lib.xfm_decode_batch(
+    lib.xfm_decode_batch_status(
         ctypes.cast(datas, ctypes.POINTER(ctypes.c_char_p)),
         ctypes.cast(lens, ctypes.POINTER(ctypes.c_long)),
         crops.ctypes.data_as(ctypes.POINTER(ctypes.c_int)),
         out_size,
         hflips.ctypes.data_as(ctypes.POINTER(ctypes.c_int)),
         out.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
-        n, threads)
+        n, threads,
+        status.ctypes.data_as(ctypes.POINTER(ctypes.c_int)))
+    if return_status:
+        return out, status
     return out

@@ -191,13 +191,67 @@ int xfm_image_dims(const uint8_t* data, long len, int* w, int* h) {
   return 0;
 }
 
+// Header-only dimensions: JPEG SOF marker scan / PNG IHDR parse — no pixel
+// decode, so it is a cheap validity+size probe for batch admission.
+// Returns 0 on success.
+int xfm_image_dims_fast(const uint8_t* data, long len, int* w, int* h) {
+  if (len > 3 && data[0] == 0xFF && data[1] == 0xD8) {  // JPEG
+    long i = 2;
+    while (i + 9 < len) {
+      if (data[i] != 0xFF) return 1;
+      uint8_t marker = data[i + 1];
+      if (marker == 0xFF) { ++i; continue; }
+      if (marker == 0xD8 || (marker >= 0xD0 && marker <= 0xD9)) {
+        i += 2;
+        continue;  // standalone markers
+      }
+      long seglen = (long(data[i + 2]) << 8) | data[i + 3];
+      if (seglen < 2 || i + 2 + seglen > len) return 1;
+      // SOF0-SOF15 except DHT(C4)/JPG(C8)/DAC(CC)
+      if (marker >= 0xC0 && marker <= 0xCF && marker != 0xC4 &&
+          marker != 0xC8 && marker != 0xCC) {
+        if (seglen < 7) return 1;
+        *h = (int(data[i + 5]) << 8) | data[i + 6];
+        *w = (int(data[i + 7]) << 8) | data[i + 8];
+        return (*w > 0 && *h > 0) ? 0 : 1;
+      }
+      i += 2 + seglen;
+    }
+    return 1;
+  }
+  if (len > 24 && data[0] == 0x89 && data[1] == 'P') {  // PNG IHDR
+    *w = (int(data[16]) << 24) | (int(data[17]) << 16) |
+         (int(data[18]) << 8) | int(data[19]);
+    *h = (int(data[20]) << 24) | (int(data[21]) << 16) |
+         (int(data[22]) << 8) | int(data[23]);
+    return (*w > 0 && *h > 0) ? 0 : 1;
+  }
+  return 1;
+}
+
 // Threaded batch: datas[i]/lens[i] are encoded images, crops is [B*4]
 // (x,y,w,h per image; w<=0 = full frame), hflips is [B]. out is
 // [B, out_size, out_size, 3] uint8. Returns number of failed images
 // (failed slots are zero-filled).
+int xfm_decode_batch_status(const uint8_t** datas, const long* lens,
+                            const int* crops, int out_size,
+                            const int* hflips, uint8_t* out, int n,
+                            int threads, int* status);
+
 int xfm_decode_batch(const uint8_t** datas, const long* lens,
                      const int* crops, int out_size, const int* hflips,
                      uint8_t* out, int n, int threads) {
+  return xfm_decode_batch_status(datas, lens, crops, out_size, hflips, out,
+                                 n, threads, nullptr);
+}
+
+// As xfm_decode_batch, plus per-slot status (0 ok / 1 failed) when
+// `status` is non-null — callers can substitute failed slots instead of
+// training on zero-filled images.
+int xfm_decode_batch_status(const uint8_t** datas, const long* lens,
+                            const int* crops, int out_size,
+                            const int* hflips, uint8_t* out, int n,
+                            int threads, int* status) {
   if (threads < 1) threads = 1;
   if (threads > n) threads = n;
   std::atomic<int> next(0), failed(0);
@@ -209,9 +263,11 @@ int xfm_decode_batch(const uint8_t** datas, const long* lens,
       Image img;
       if (!decode_any(datas[i], lens[i], &img)) {
         memset(out + stride * i, 0, stride);
+        if (status) status[i] = 1;
         failed.fetch_add(1);
         continue;
       }
+      if (status) status[i] = 0;
       crop_resize(img, crops[4 * i], crops[4 * i + 1], crops[4 * i + 2],
                   crops[4 * i + 3], out_size, hflips[i], out + stride * i);
     }

@@ -17,11 +17,11 @@ import numpy as np
 from ..core.config import load_config, resolve_vision_config, dump_config
 from ..core.mesh import make_mesh, mesh_from_config, shard_batch
 from ..core.partitioning import param_shardings
-from ..core.precision import policy_from_config
 from ..train.metrics import MetricLogger, is_main_process
 from ..train.optim import create_optimizer_from_config
 from ..train.schedules import schedule_from_config
-from ..train.train_state import TrainState
+from ..train.train_state import (TrainState, make_accum_train_step,
+                                 make_train_step)
 
 
 @dataclasses.dataclass
@@ -82,18 +82,109 @@ def build_state(ctx: TaskContext, model, example_batch, init_method,
                       opt_state=opt_state, tx=tx), sched
 
 
+def maybe_bf16_params(ctx: TaskContext, state: TrainState, sched
+                      ) -> TrainState:
+    """`bf16_params: true` (YAML): live params stored bf16 (halves weight HBM
+    traffic per forward) with an fp32 master copy inside the optimizer — the
+    TPU-native replacement for apex O1 master params
+    (reference accelerators/apex_ddp_accelerator.py:81-107). Call AFTER any
+    torch-checkpoint import (the fp32 originals seed the master copy) and
+    BEFORE Orbax resume (the restored tree must match this structure)."""
+    if not ctx.config.get("bf16_params", False):
+        return state
+    from ..train.optim import with_master_weights
+
+    params32 = state.params
+    tx = with_master_weights(
+        create_optimizer_from_config(params32, ctx.config, sched))
+    with ctx.mesh:
+        opt_state = jax.jit(tx.init)(params32)
+    params = jax.tree.map(
+        lambda x: x.astype(jnp.bfloat16)
+        if isinstance(x, jax.Array) and x.dtype == jnp.float32 else x,
+        params32)
+    return TrainState(step=state.step, params=params, opt_state=opt_state,
+                      tx=tx)
+
+
+def save_epoch_checkpoint(ctx: TaskContext, state: TrainState, epoch: int,
+                          name: str = "ckpt", keep: int = 2) -> None:
+    """Per-epoch checkpoint under <out>/<name> (manager step = epoch)."""
+    from ..train.checkpoint import save_checkpoint
+
+    save_checkpoint(os.path.join(ctx.out_dir, name), state, step=epoch,
+                    keep=keep)
+
+
+def maybe_resume_epochs(ctx: TaskContext, state: TrainState):
+    """Preemption-safe fine-tune resume (`resume: true` in the YAML):
+    restore params/opt/step from the latest epoch checkpoint in <out>/ckpt
+    and return (state, next_epoch). Round-1 gap: only pretrain could resume
+    — a preempted 8-epoch VQA run restarted from scratch."""
+    if not ctx.config.get("resume", False):
+        return state, 0
+    ckpt_dir = os.path.abspath(os.path.join(ctx.out_dir, "ckpt"))
+    if not os.path.isdir(ckpt_dir):
+        return state, 0
+    import orbax.checkpoint as ocp
+
+    from ..train.checkpoint import restore_checkpoint
+
+    last = ocp.CheckpointManager(ckpt_dir).latest_step()
+    if last is None:
+        return state, 0
+    state = restore_checkpoint(ckpt_dir, state, step=last)
+    if is_main_process():
+        print(f"### resumed fine-tune from epoch {last}, continuing at "
+              f"{last + 1}", flush=True)
+    return state, last + 1
+
+
+def accum_steps_from_config(cfg: dict) -> int:
+    """`accumulate_steps` (reference Retrieval.py:45) /
+    `gradient_accumulation_steps` (reference run_glue.py:314-360)."""
+    return max(1, int(cfg.get("accumulate_steps",
+                              cfg.get("gradient_accumulation_steps", 1))))
+
+
+def make_task_step(ctx: TaskContext, loss_fn):
+    """→ (jitted step_fn, accum_steps). With accumulation K>1 the step
+    consumes K stacked micro-batches and takes ONE optimizer step
+    (train_state.make_accum_train_step); train_epoch does the stacking."""
+    k = accum_steps_from_config(ctx.config)
+    if k == 1:
+        return make_train_step(loss_fn), 1
+    return make_accum_train_step(loss_fn, k), k
+
+
+def _group_batches(loader, k: int):
+    """Group k consecutive micro-batches into one [k, B, ...]-stacked batch
+    (trailing partial group dropped, matching drop_last train loaders)."""
+    buf = []
+    for b in loader:
+        buf.append(b)
+        if len(buf) == k:
+            yield jax.tree.map(
+                lambda *xs: np.stack([np.asarray(x) for x in xs]), *buf)
+            buf = []
+
+
 def train_epoch(ctx: TaskContext, state: TrainState, step_fn, loader,
                 rng: jax.Array, epoch: int, sched=None,
-                print_freq: int = 50, max_steps: Optional[int] = None):
+                print_freq: int = 50, max_steps: Optional[int] = None,
+                accum_steps: int = 1):
     """One epoch over `loader` using the jitted `step_fn(state, batch, rng)`.
     Returns (state, stats dict) — the reference's per-task train() loops
     (e.g. Retrieval.py:35-75) collapse into this."""
     logger = MetricLogger()
     n = 0
+    if accum_steps > 1:
+        loader = _group_batches(loader, accum_steps)
     for batch in logger.log_every(loader, print_freq,
                                   header=f"Train epoch {epoch}:",
                                   total=max_steps):
-        batch = shard_batch(ctx.mesh, batch)
+        batch = shard_batch(ctx.mesh, batch,
+                            batch_axis=1 if accum_steps > 1 else 0)
         rng, sub = jax.random.split(rng)
         with ctx.mesh:
             state, metrics = step_fn(state, batch, sub)

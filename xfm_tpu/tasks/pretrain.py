@@ -29,7 +29,7 @@ from ..data.pretrain_data import ImageStream, ImageTextStream, TextStream
 from ..data.transforms import TrainTransform
 from ..models import XFMForPretrain, config_from_yaml
 from ..train.metrics import MetricLogger, is_main_process
-from ..train.train_state import make_train_step
+from ..train.train_state import make_multi_train_step, make_train_step
 from .common import TaskContext, append_log, build_state
 from .retrieval import build_tokenizer_or_fallback, _maybe_shrink_vocab
 
@@ -108,6 +108,37 @@ def main(args, config: Optional[dict] = None):
         tokenizer)
     model = XFMForPretrain(mcfg)
 
+    # Frozen VQ-KD tokenizer for discrete-target MIM
+    # (`use_vision_tokenizer: true` + `tokenizer_model` [+ `tokenizer_weight`
+    # torch checkpoint]; reference models/xfm.py:104-112,488-496,625-629).
+    code_ids_fn = None
+    if cfg.get("use_vision_tokenizer", False):
+        from ..models.vqkd import VQKD, vqkd_config_from_yaml
+
+        vq_cfg = vqkd_config_from_yaml(cfg)
+        vq_model = VQKD(vq_cfg)
+        res = cfg.get("image_res", 224)
+        vq_vars = vq_model.init(
+            {"params": jax.random.PRNGKey(7)},
+            jnp.zeros((1, res, res, 3), jnp.float32),
+            method=VQKD.get_codebook_indices)
+        if cfg.get("tokenizer_weight"):
+            from ..train.checkpoint import (import_vqkd_checkpoint,
+                                            load_torch_state_dict,
+                                            merge_params, to_jax)
+
+            vsd = load_torch_state_dict(cfg["tokenizer_weight"])
+            imported = to_jax(import_vqkd_checkpoint(vsd, vq_cfg))
+            vq_params, _, _ = merge_params(dict(vq_vars["params"]),
+                                           imported["params"])
+            vq_vars = {"params": vq_params,
+                       "vq_stats": to_jax(imported["vq_stats"])}
+        vq_vars = jax.tree.map(jax.lax.stop_gradient, vq_vars)
+
+        def code_ids_fn(images):
+            return vq_model.apply(vq_vars, images,
+                                  method=VQKD.get_codebook_indices)
+
     rank, ws = jax.process_index(), jax.process_count()
     streams = build_streams(cfg, tokenizer, rank, ws)
     assert streams, "no pretraining streams configured"
@@ -136,6 +167,10 @@ def main(args, config: Optional[dict] = None):
                                               sd, mcfg)))
         state = state.replace(params=params)
 
+    from .common import maybe_bf16_params
+
+    state = maybe_bf16_params(ctx, state, sched)
+
     if cfg.get("resume", False):
         # preemption-safe resume: restores params/opt/step from the latest
         # Orbax checkpoint (reference Pretrain.py:438-445 semantics)
@@ -153,6 +188,12 @@ def main(args, config: Optional[dict] = None):
     text_separate = bool(cfg.get("text_step_separate", False)) \
         and "text" in streams
 
+    # K optimizer steps per dispatch (`dispatch_steps` YAML key): batches are
+    # stacked [K, B, ...] and stepped inside one donated jitted lax.scan —
+    # this is what makes `run.py --task pretrain_DIY` hit the same samples/s
+    # as bench.py (per-dispatch host/tunnel overhead amortized; PERF.md).
+    K = max(1, int(cfg.get("dispatch_steps", 1)))
+
     def make_text_step():
         def loss_fn(params, batch, rng):
             out = model.apply({"params": params}, deterministic=False,
@@ -162,7 +203,8 @@ def main(args, config: Optional[dict] = None):
             loss = weights.get("text", 1.0) * sum(out[k] for k in LOSS_KEYS)
             return loss, {f"text_{k}": out[k] for k in LOSS_KEYS}
 
-        return make_train_step(loss_fn)
+        return (make_train_step(loss_fn) if K == 1
+                else make_multi_train_step(loss_fn, K))
 
     def make_step(flags_by_stream):
         def loss_fn(params, batches, rng):
@@ -170,11 +212,19 @@ def main(args, config: Optional[dict] = None):
             aux = {}
             for i, (name, batch) in enumerate(sorted(batches.items())):
                 flags = flags_by_stream[name]
+                extra = {}
+                if (code_ids_fn is not None and flags.get("ret_mim")
+                        and batch.get("images") is not None):
+                    # frozen-tokenizer code ids of the unmasked images
+                    # (reference models/xfm.py:625-627 computes them
+                    # under no_grad inside get_mim_loss)
+                    extra["vqkd_code_ids"] = jax.lax.stop_gradient(
+                        code_ids_fn(batch["images"]))
                 out = model.apply(
                     {"params": params}, deterministic=False,
                     rngs={"hardneg": jax.random.fold_in(rng, 2 * i),
                           "dropout": jax.random.fold_in(rng, 2 * i + 1)},
-                    **batch, **flags)
+                    **batch, **flags, **extra)
                 w = weights.get(name, 1.0)
                 stream_loss = sum(out[k] for k in LOSS_KEYS)
                 total = total + w * stream_loss
@@ -182,7 +232,8 @@ def main(args, config: Optional[dict] = None):
                     aux[f"{name}_{k}"] = out[k]
             return total, aux
 
-        return make_train_step(loss_fn)
+        return (make_train_step(loss_fn) if K == 1
+                else make_multi_train_step(loss_fn, K))
 
     epochs = int(cfg.get("schedular", {}).get("epochs", 1))
     max_steps = int(cfg.get("max_steps", epochs * steps_per_epoch))
@@ -198,7 +249,23 @@ def main(args, config: Optional[dict] = None):
     text_step_fn = make_text_step() if text_separate else None
     flags_sig = None
     t0 = time.time()
-    for step in range(int(state.step), max_steps):
+
+    def next_batches():
+        batches = {}
+        for name, it in iters.items():
+            b = dict(next(it))
+            if name == "text":
+                b["images"] = None
+            batches[name] = b
+        return batches
+
+    # Throughput accounting: wall time per dispatch after the compile
+    # dispatches, in image-stream samples/s/process (comparable to bench.py).
+    bs_main = (cfg.get("images", {}) or {}).get("batch_size", 32)
+    perf = {"samples": 0, "secs": 0.0, "dispatches": 0}
+
+    step = int(state.step)
+    while step < max_steps:
         flags = {name: stream_flags(name, step, cfg) for name in streams
                  if not (text_separate and name == "text")}
         sig = str(sorted(flags.items()))
@@ -206,15 +273,16 @@ def main(args, config: Optional[dict] = None):
             step_fn = make_step(flags)
             flags_sig = sig
 
-        batches = {}
-        for name, it in iters.items():
-            b = dict(next(it))
-            if name == "text":
-                b["images"] = None
-            batches[name] = b
-        batches = shard_batch(ctx.mesh, batches)
+        if K == 1:
+            batches = shard_batch(ctx.mesh, next_batches())
+        else:
+            group = [next_batches() for _ in range(K)]
+            batches = jax.tree.map(
+                lambda *xs: np.stack([np.asarray(x) for x in xs]), *group)
+            batches = shard_batch(ctx.mesh, batches, batch_axis=1)
         rng, sub = jax.random.split(rng)
         metrics = {}
+        t_dispatch = time.perf_counter()
         with ctx.mesh:
             if text_separate:
                 rng, tsub = jax.random.split(rng)
@@ -224,16 +292,29 @@ def main(args, config: Optional[dict] = None):
             state, smetrics = step_fn(state, batches, sub)
             metrics.update(smetrics)
         logger.update(**{k: float(v) for k, v in metrics.items()
-                         if jnp.ndim(v) == 0})
-        if step % cfg.get("print_freq", 50) == 0 and is_main_process():
+                         if jnp.ndim(v) == 0})  # float() forces completion
+        perf["dispatches"] += 1
+        if perf["dispatches"] > 2:  # skip compile + first steady dispatch
+            perf["secs"] += time.perf_counter() - t_dispatch
+            perf["samples"] += bs_main * K
+        prev, step = step, step + K
+        if (step // cfg.get("print_freq", 50)
+                != prev // cfg.get("print_freq", 50)
+                or prev == 0) and is_main_process():
             print(f"step {step}/{max_steps} lr={float(sched(step)):.2e} "
                   f"{logger}", flush=True)
-        if (step + 1) % ckpt_step == 0 or step + 1 == max_steps:
+        if step // ckpt_step != prev // ckpt_step or step >= max_steps:
             from ..train.checkpoint import save_checkpoint
 
             save_checkpoint(os.path.join(ctx.out_dir, "ckpt"), state,
-                            step=step + 1)
-            append_log(ctx.out_dir, {"step": step + 1,
+                            step=step)
+            append_log(ctx.out_dir, {"step": step,
                                      **logger.global_avg(),
                                      "elapsed": time.time() - t0})
-    return logger.global_avg()
+    stats = logger.global_avg()
+    if perf["secs"] > 0:
+        stats["samples_per_sec"] = perf["samples"] / perf["secs"]
+        if is_main_process():
+            print(f"### throughput {stats['samples_per_sec']:.1f} "
+                  f"samples/s/process (post-warmup)", flush=True)
+    return stats

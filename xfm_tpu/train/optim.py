@@ -135,7 +135,9 @@ def with_master_weights(inner: optax.GradientTransformation,
     reference accelerators/apex_ddp_accelerator.py:81-107).
 
     Returned updates are `new_master.astype(param_dtype) - params`, so
-    `optax.apply_updates` leaves params exactly equal to the rounded master.
+    `optax.apply_updates` leaves params equal to the rounded master up to one
+    final bf16 rounding of the add (≤1 ulp, non-accumulating: the delta is
+    recomputed against the live params every step).
     """
 
     def init(params):
