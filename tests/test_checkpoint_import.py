@@ -368,3 +368,66 @@ def test_convert_checkpoint_cli(tmp_path, monkeypatch):
         np.testing.assert_allclose(np.asarray(sd[k]),
                                    np.asarray(sd2[k]), atol=1e-6,
                                    err_msg=k)
+
+
+def test_caption_domain_decoder_init_from_text_encoder(tmp_path):
+    """Caption domain-pretrain copies TEXT-encoder weights (incl. lm_head)
+    into the decoder (reference models/model_generation.py:219-235
+    text_encoder.* → text_decoder.*); fine-tune copies fusion weights
+    (reference :275,83-86)."""
+    import jax
+    import jax.numpy as jnp
+
+    from xfm_tpu.models import XFMForPretrain, config_from_yaml
+    from xfm_tpu.models import XFMForCaptioning
+    from xfm_tpu.tasks.captioning import load_ckpt_into
+    from xfm_tpu.train.checkpoint import (export_xfm_checkpoint,
+                                          save_torch_checkpoint)
+    from xfm_tpu.train.optim import create_optimizer
+    from xfm_tpu.train.train_state import TrainState
+
+    ycfg = {"compute_dtype": "float32",
+            "vision_embed_dim": 32, "vision_depth": 1, "vision_num_heads": 2,
+            "patch_size": 16, "image_res": 32,
+            "text_num_hidden_layers": 2, "fusion_num_hidden_layers": 2,
+            "text_hidden_size": 32, "text_num_attention_heads": 2,
+            "text_intermediate_size": 64, "text_vocab_size": 64}
+    mcfg_pt = config_from_yaml(ycfg, use_contrastive_loss=True,
+                               use_matching_loss=True, use_mlm_loss=True)
+    pt = XFMForPretrain(mcfg_pt)
+    imgs = jnp.zeros((2, 32, 32, 3))
+    ids = jnp.ones((2, 8), jnp.int32)
+    atts = jnp.ones((2, 8), jnp.int32)
+    pt_params = pt.init({"params": jax.random.PRNGKey(0)}, imgs, ids, atts,
+                        method=XFMForPretrain.init_all)["params"]
+    sd = export_xfm_checkpoint(pt_params, mcfg_pt)
+    assert "text_encoder.lm_head.dense.weight" in sd
+    path = str(tmp_path / "ckpt.th")
+    save_torch_checkpoint(path, sd)
+
+    mcfg = config_from_yaml(ycfg)
+    cap = XFMForCaptioning(mcfg, num_dec_layers=2,
+                           decoder_fusion_start_at=0, pad_token_id=1)
+    cap_params = cap.init({"params": jax.random.PRNGKey(1)}, imgs, ids,
+                          atts, method=XFMForCaptioning.init_all)["params"]
+    state = TrainState.create(cap_params,
+                              create_optimizer(cap_params, lambda s: 0.0))
+
+    got = load_ckpt_into(state, mcfg, path, decoder_from="text")
+    src = pt_params["backbone"]["text_encoder"]
+    dec = got.params["text_decoder"]
+    np.testing.assert_allclose(
+        np.asarray(dec["embeddings"]["word_embeddings"]["embedding"]),
+        np.asarray(src["embeddings"]["word_embeddings"]["embedding"]),
+        atol=1e-6)
+    np.testing.assert_allclose(
+        np.asarray(dec["mlm_head"]["dense"]["kernel"]),
+        np.asarray(src["mlm_head"]["dense"]["kernel"]), atol=1e-6)
+
+    got2 = load_ckpt_into(state, mcfg, path, decoder_from="fusion")
+    fus = pt_params["backbone"]["fusion_encoder"]
+    np.testing.assert_allclose(
+        np.asarray(got2.params["text_decoder"]["layer_0"]["attention"]
+                   ["query"]["kernel"]),
+        np.asarray(fus["layer_0"]["attention"]["query"]["kernel"]),
+        atol=1e-6)

@@ -128,3 +128,23 @@ def test_bleu_exact_match():
     out = bleu({"1": "the cat sat"}, {"1": ["the cat sat"]})
     np.testing.assert_allclose(out["Bleu_1"], 1.0)
     np.testing.assert_allclose(out["Bleu_3"], 1.0)
+
+
+def test_rouge_l():
+    """ROUGE-L F(beta=1.2) (reference refTools/evaluation/rouge/rouge.py):
+    exact match = 1.0; hand-computed partial case; empty hypo = 0."""
+    from xfm_tpu.eval.caption_metrics import rouge_l
+
+    assert rouge_l({"1": "the cat sat"}, {"1": ["the cat sat"]}) == 1.0
+    # hypo "a b c", ref "a c d": lcs=2, p=2/3, r=2/3 → F = 2/3
+    np.testing.assert_allclose(
+        rouge_l({"1": "a b c"}, {"1": ["a c d"]}), 2 / 3, rtol=1e-6)
+    # max over references
+    np.testing.assert_allclose(
+        rouge_l({"1": "a b c"}, {"1": ["x y z", "a b c"]}), 1.0)
+    assert rouge_l({"1": ""}, {"1": ["a"]}) == 0.0
+    # beta weighting: p=1, r=1/2 → (1+b2)*p*r/(r+b2*p)
+    b2 = 1.2 ** 2
+    np.testing.assert_allclose(
+        rouge_l({"1": "a b"}, {"1": ["a b c d"]}),
+        (1 + b2) * 1.0 * 0.5 / (0.5 + b2), rtol=1e-6)

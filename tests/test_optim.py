@@ -65,3 +65,47 @@ def test_lars_skips_1d():
     np.testing.assert_allclose(np.asarray(upd["b"]), -0.1, rtol=1e-6)
     # kernel: trust-scaled
     assert not np.allclose(np.asarray(upd["w"]), -0.1)
+
+
+def test_grad_accumulation_equals_big_batch():
+    """N=2 accumulation == one 2x-batch step (reference Retrieval.py:55-65 /
+    run_glue.py gradient_accumulation_steps semantics), through the real
+    optimizer chain (clip + adam + wd)."""
+    import jax
+    import jax.numpy as jnp
+
+    from xfm_tpu.train.optim import create_optimizer
+    from xfm_tpu.train.train_state import (TrainState, make_accum_train_step,
+                                           make_train_step)
+
+    r = np.random.RandomState(0)
+    X = jnp.asarray(r.randn(8, 4), jnp.float32)
+    Y = jnp.asarray(r.randn(8), jnp.float32)
+    params = {"w": jnp.asarray(r.randn(4), jnp.float32),
+              "b": jnp.zeros(())}
+
+    def loss_fn(p, batch, rng):
+        pred = batch["x"] @ p["w"] + p["b"]
+        return jnp.mean((pred - batch["y"]) ** 2), {}
+
+    def fresh_state():
+        tx = create_optimizer(params, lambda s: 0.1, weight_decay=0.01,
+                              clip_grad_norm=1.0)
+        return TrainState.create(params, tx)
+
+    rng = jax.random.PRNGKey(0)
+    # one big-batch step
+    s_big, m_big = make_train_step(loss_fn, donate=False)(
+        fresh_state(), {"x": X, "y": Y}, rng)
+    # two stacked micro-batches, one accumulated step
+    stacked = {"x": X.reshape(2, 4, 4), "y": Y.reshape(2, 4)}
+    s_acc, m_acc = make_accum_train_step(loss_fn, 2, donate=False)(
+        fresh_state(), stacked, rng)
+
+    np.testing.assert_allclose(np.asarray(s_big.params["w"]),
+                               np.asarray(s_acc.params["w"]), rtol=1e-5)
+    np.testing.assert_allclose(float(m_big["grad_norm"]),
+                               float(m_acc["grad_norm"]), rtol=1e-5)
+    np.testing.assert_allclose(float(m_big["loss"]), float(m_acc["loss"]),
+                               rtol=1e-5)
+    assert int(s_acc.step) == 1  # one optimizer step for K micro-batches

@@ -164,3 +164,97 @@ def test_captioning_scst_steps(tmp_path):
     state = captioning.main(make_args(cfg_path, tmp_path / "out"),
                             scst=True)
     assert state is not None
+
+
+@pytest.mark.slow
+def test_refcoco_bbox_two_stage_pipeline(tmp_path):
+    """refcoco_bbox pipeline (reference run.py:311-318): region-stream
+    domain pretrain (Grounding_bbox_pretrain.py:181-207 semantics) then the
+    bbox fine-tune seeded from the stage-1 checkpoint — one invocation."""
+    import base64
+    import io as _io
+
+    # stage-1 region stream data
+    rng = np.random.default_rng(0)
+    with open(tmp_path / "regions.jsonl", "w") as f:
+        for i in range(8):
+            arr = rng.integers(0, 255, (64, 64, 3), dtype=np.uint8)
+            buf = _io.BytesIO()
+            Image.fromarray(arr).save(buf, "PNG")
+            b64 = base64.b64encode(buf.getvalue()).decode()
+            elems = [{"bb": [8, 8, 24, 24], "caption": f"region a {i}"},
+                     {"bb": [32, 16, 16, 32], "caption": f"region b {i}"}]
+            f.write(json.dumps({"binary": b64, "elems": elems}) + "\n")
+    dp_cfg = dict(tiny_model_keys(),
+                  train_file_regions=[str(tmp_path / "regions.jsonl")],
+                  regions={"image_key": "binary", "is_image_rpath": False,
+                           "caption_key": "caption", "batch_size": 4,
+                           "max_images": 2, "max_regions": 2,
+                           "min_perc_in_image": 0.3},
+                  ret_bbox_loss=True, max_words=8, max_tokens=12,
+                  max_masks=2, mask_prob=0.5,
+                  train_dataset_size=8, max_steps=2, ckpt_frequent_step=2,
+                  schedular={"sched": "linear", "lr": 1e-3, "epochs": 1,
+                             "num_warmup_steps": 0},
+                  optimizer={"lr": 1e-3, "weight_decay": 0.01})
+    yaml.safe_dump(dp_cfg, open(tmp_path / "dp.yaml", "w"))
+
+    # stage-2 fine-tune data
+    names = write_images(tmp_path, 6)
+    ann = [{"image": n, "text": f"the region {i}",
+            "bbox": [4, 4, 20, 20], "ref_id": i}
+           for i, n in enumerate(names)]
+    (tmp_path / "g.json").write_text(json.dumps(ann))
+    cfg = dict(tiny_model_keys(), train_file=[str(tmp_path / "g.json")],
+               test_file=str(tmp_path / "g.json"),
+               image_root=str(tmp_path), batch_size=3, max_tokens=12,
+               domain_pretrain_config=str(tmp_path / "dp.yaml"),
+               schedular={"sched": "linear", "lr": 1e-3, "epochs": 1,
+                          "num_warmup_steps": 0},
+               optimizer={"lr": 1e-3, "weight_decay": 0.01})
+    cfg_path = tmp_path / "g.yaml"
+    yaml.safe_dump(cfg, open(cfg_path, "w"))
+
+    from xfm_tpu.tasks import grounding
+
+    metrics = grounding.main_bbox_pipeline(
+        make_args(cfg_path, tmp_path / "out", load_ckpt_from=None))
+    assert 0.0 <= metrics["best_iou50"] <= 1.0
+    # stage-1 artifacts exist
+    assert os.path.isdir(tmp_path / "out" / "bbox_pretrain" / "ckpt")
+
+
+@pytest.mark.slow
+def test_vqa_end_to_end(tmp_path):
+    """VQA task e2e (reference VQA.py): train one epoch, rank over an
+    answer list, write the result json, and compute in-task accuracy from
+    ground-truth annotations (reference VQA.py:103-122)."""
+    names = write_images(tmp_path, 6)
+    answers = ["yes", "no", "red", "blue"]
+    train_ann = [{"image": n, "question": f"is thing {i} there",
+                  "answer": [answers[i % 4]], "question_id": i,
+                  "dataset": "vqa"} for i, n in enumerate(names)]
+    test_ann = [{"image": n, "question": f"is thing {i} there",
+                 "question_id": i, "answer": answers[i % 4],
+                 "dataset": "vqa"} for i, n in enumerate(names)]
+    (tmp_path / "train.json").write_text(json.dumps(train_ann))
+    (tmp_path / "test.json").write_text(json.dumps(test_ann))
+    (tmp_path / "answer_list.json").write_text(json.dumps(answers))
+    cfg = dict(tiny_model_keys(), train_file=[str(tmp_path / "train.json")],
+               test_file=str(tmp_path / "test.json"),
+               answer_list=str(tmp_path / "answer_list.json"),
+               vqa_root=str(tmp_path), vg_root=str(tmp_path),
+               batch_size_train=3, batch_size_test=3, k_test=2,
+               num_dec_layers=2, decoder_fusion_start_at=0,
+               schedular={"sched": "linear", "lr": 1e-3, "epochs": 1,
+                          "num_warmup_steps": 0},
+               optimizer={"lr": 1e-3, "weight_decay": 0.01})
+    cfg_path = tmp_path / "vqa.yaml"
+    yaml.safe_dump(cfg, open(cfg_path, "w"))
+
+    from xfm_tpu.tasks import vqa
+
+    out = vqa.main(make_args(cfg_path, tmp_path / "out"))
+    assert isinstance(out, dict) and "vqa_acc_exact" in out
+    assert 0.0 <= out["vqa_acc_exact"] <= 1.0
+    assert os.path.exists(out["result_file"])

@@ -108,3 +108,136 @@ def test_beit_block_no_layerscale_when_zero_init():
     out = m.apply({"params": p}, jnp.ones((2, 32, 32, 3)))
     # without LayerScale the blocks actually transform the input
     assert float(jnp.std(out)) > 0
+
+
+def test_vqkd_config_from_yaml():
+    from xfm_tpu.models.vqkd import vqkd_config_from_yaml
+
+    cfg = vqkd_config_from_yaml(
+        {"tokenizer_model": "vqkd_encoder_base_decoder_1x768x12_dino",
+         "codebook_size": 128, "codebook_dim": 16, "image_res": 224})
+    assert cfg.decoder_depth == 1
+    assert cfg.teacher_dim == 768  # dino
+    assert cfg.codebook_size == 128 and cfg.codebook_dim == 16
+    # reference encoder layout (models/model_vqkd.py:243-246)
+    assert cfg.encoder.use_abs_pos_emb
+    assert not cfg.encoder.use_rel_pos_bias
+    assert not cfg.encoder.use_shared_rel_pos_bias
+    assert cfg.encoder.use_mean_pooling
+
+
+def test_import_vqkd_checkpoint_roundtrip():
+    """Torch-style VQ-KD tokenizer state dict → flax VQKD; imported codebook
+    drives get_codebook_indices."""
+    from xfm_tpu.models.vqkd import vqkd_config_from_yaml
+    from xfm_tpu.train.checkpoint import (import_vqkd_checkpoint,
+                                          merge_params, to_jax)
+
+    ycfg = {"tokenizer_model": "vqkd_encoder_base_decoder_1x768x12_clip",
+            "image_res": 32, "patch_size": 16, "tokenizer_embed_dim": 32,
+            "tokenizer_depth": 1, "tokenizer_num_heads": 2,
+            "codebook_size": 16, "codebook_dim": 8}
+    cfg = vqkd_config_from_yaml(ycfg)
+    r = np.random.RandomState(0)
+    D, I, G = 32, 128, (32 // 16) ** 2  # embed, mlp(4x), grid patches
+
+    def lin(dout, din):
+        return {"weight": r.randn(dout, din).astype(np.float32) * 0.02,
+                "bias": np.zeros(dout, np.float32)}
+
+    sd = {}
+    sd["encoder.cls_token"] = r.randn(1, 1, D).astype(np.float32) * 0.02
+    sd["encoder.pos_embed"] = r.randn(1, G + 1, D).astype(np.float32) * 0.02
+    sd["encoder.patch_embed.proj.weight"] = \
+        r.randn(D, 3, 16, 16).astype(np.float32) * 0.02
+    sd["encoder.patch_embed.proj.bias"] = np.zeros(D, np.float32)
+    b = "encoder.blocks.0"
+    sd[f"{b}.norm1.weight"] = np.ones(D, np.float32)
+    sd[f"{b}.norm1.bias"] = np.zeros(D, np.float32)
+    sd[f"{b}.norm2.weight"] = np.ones(D, np.float32)
+    sd[f"{b}.norm2.bias"] = np.zeros(D, np.float32)
+    sd[f"{b}.attn.qkv.weight"] = r.randn(3 * D, D).astype(np.float32) * 0.02
+    sd[f"{b}.attn.q_bias"] = np.zeros(D, np.float32)
+    sd[f"{b}.attn.v_bias"] = np.zeros(D, np.float32)
+    for k, v in lin(D, D).items():
+        sd[f"{b}.attn.proj.{k}"] = v
+    for k, v in lin(I, D).items():
+        sd[f"{b}.mlp.fc1.{k}"] = v
+    for k, v in lin(D, I).items():
+        sd[f"{b}.mlp.fc2.{k}"] = v
+    sd["encoder.fc_norm.weight"] = np.ones(D, np.float32)
+    sd["encoder.fc_norm.bias"] = np.zeros(D, np.float32)
+    for k, v in lin(D, D).items():
+        sd[f"encode_task_layer.0.{k}"] = v
+    for k, v in lin(8, D).items():
+        sd[f"encode_task_layer.2.{k}"] = v
+    cb = r.randn(16, 8).astype(np.float32)
+    cb /= np.linalg.norm(cb, axis=-1, keepdims=True)
+    sd["quantize.embedding.weight"] = cb
+    sd["quantize.embedding.cluster_size"] = np.zeros(16, np.float32)
+    # keys the as_tokenzer path must drop
+    sd["teacher_model.whatever"] = np.zeros(3, np.float32)
+    sd["scaling_layer.shift"] = np.zeros(3, np.float32)
+
+    model = VQKD(cfg)
+    dummy = jnp.zeros((2, 32, 32, 3), jnp.float32)
+    vars0 = model.init({"params": jax.random.PRNGKey(0)}, dummy,
+                       method=VQKD.get_codebook_indices)
+    imported = to_jax(import_vqkd_checkpoint(sd, cfg))
+    params, missing, _ = merge_params(dict(vars0["params"]),
+                                      imported["params"])
+    # everything the tokenizer path needs was mapped
+    assert not [m for m in missing if "decoder" not in m
+                and "mask_token" not in m], missing
+    variables = {"params": params, "vq_stats": imported["vq_stats"]}
+    ids = model.apply(variables, jax.random.normal(
+        jax.random.PRNGKey(1), (2, 32, 32, 3)),
+        method=VQKD.get_codebook_indices)
+    assert ids.shape == (2, G)
+    assert int(ids.max()) < 16 and int(ids.min()) >= 0
+    np.testing.assert_allclose(np.asarray(variables["vq_stats"]["quantize"]
+                                          ["codebook"]), cb, atol=1e-6)
+
+
+def test_pretrain_model_vqkd_mim_branch():
+    """XFMForPretrain with use_vision_tokenizer: CE branch consumes code
+    ids; missing ids raise the explicit wiring error."""
+    import pytest
+
+    from xfm_tpu.models import XFMForPretrain, config_from_yaml
+
+    ycfg = {"compute_dtype": "float32", "use_vision_tokenizer": True,
+            "codebook_size": 16,
+            "vision_embed_dim": 32, "vision_depth": 1, "vision_num_heads": 2,
+            "patch_size": 16, "image_res": 32,
+            "text_num_hidden_layers": 1, "fusion_num_hidden_layers": 1,
+            "text_hidden_size": 32, "text_num_attention_heads": 2,
+            "text_intermediate_size": 64, "text_vocab_size": 64}
+    mcfg = config_from_yaml(ycfg, use_contrastive_loss=True,
+                            use_matching_loss=True, use_mlm_loss=True)
+    assert mcfg.use_vision_tokenizer and mcfg.codebook_size == 16
+    model = XFMForPretrain(mcfg)
+    B, T, M, N = 4, 8, 2, 4
+    r = np.random.RandomState(0)
+    batch = dict(
+        images=jnp.asarray(r.randn(B, 32, 32, 3), jnp.float32),
+        text_ids=jnp.asarray(r.randint(3, 63, (B, T)), jnp.int32),
+        text_atts=jnp.ones((B, T), jnp.int32),
+        text_ids_masked=jnp.asarray(r.randint(3, 63, (B, T)), jnp.int32),
+        masked_pos=jnp.tile(jnp.arange(M, dtype=jnp.int32)[None], (B, 1)),
+        masked_ids=jnp.asarray(r.randint(3, 63, (B, M)), jnp.int32),
+        image_mask=jnp.asarray(r.rand(B, N) < 0.5),
+    )
+    params = model.init({"params": jax.random.PRNGKey(0)}, batch["images"],
+                        batch["text_ids"], batch["text_atts"],
+                        method=XFMForPretrain.init_all)["params"]
+    assert "mim_lm_head" in params["backbone"]
+    ids = jnp.asarray(r.randint(0, 16, (B, N)), jnp.int32)
+    out = model.apply({"params": params}, **batch, ret_mim=True,
+                      vqkd_code_ids=ids, deterministic=True,
+                      rngs={"hardneg": jax.random.PRNGKey(1)})
+    assert np.isfinite(float(out["loss_mim"])) and float(out["loss_mim"]) > 0
+    with pytest.raises(ValueError, match="vqkd_code_ids"):
+        model.apply({"params": params}, **batch, ret_mim=True,
+                    deterministic=True,
+                    rngs={"hardneg": jax.random.PRNGKey(1)})

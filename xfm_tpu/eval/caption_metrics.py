@@ -51,6 +51,47 @@ def bleu(hypos: Dict[str, str], refs: Dict[str, List[str]], max_n: int = 4):
     return out
 
 
+def _lcs_len(a: List[str], b: List[str]) -> int:
+    """Longest-common-subsequence length, O(len(a)*len(b)) single-row DP
+    (reference refTools/evaluation/rouge/rouge.py my_lcs)."""
+    if len(a) < len(b):
+        a, b = b, a
+    prev = [0] * (len(b) + 1)
+    for i in range(1, len(a) + 1):
+        cur = [0] * (len(b) + 1)
+        ai = a[i - 1]
+        for j in range(1, len(b) + 1):
+            cur[j] = (prev[j - 1] + 1 if ai == b[j - 1]
+                      else max(prev[j], cur[j - 1]))
+        prev = cur
+    return prev[len(b)]
+
+
+def rouge_l(hypos: Dict[str, str], refs: Dict[str, List[str]],
+            beta: float = 1.2) -> float:
+    """ROUGE-L (Lin & Hovy 2004) F-measure with beta=1.2, max over
+    references, averaged over the corpus
+    (reference refTools/evaluation/rouge/rouge.py calc_score/compute_score)."""
+    scores = []
+    for k, h in hypos.items():
+        rws = refs.get(k, [])
+        if not rws:
+            continue
+        hw = h.split()
+        prec, rec = [], []
+        for r in rws:
+            rw = r.split()
+            lcs = _lcs_len(hw, rw)
+            prec.append(lcs / max(len(hw), 1))
+            rec.append(lcs / max(len(rw), 1))
+        p, r = max(prec), max(rec)
+        if p != 0 and r != 0:
+            scores.append(((1 + beta ** 2) * p * r) / (r + beta ** 2 * p))
+        else:
+            scores.append(0.0)
+    return float(sum(scores) / max(len(scores), 1))
+
+
 def coco_caption_eval(hypos: Dict[str, str],
                       refs: Dict[str, List[str]]) -> dict:
     from .meteor import meteor
@@ -59,4 +100,5 @@ def coco_caption_eval(hypos: Dict[str, str],
     cider_mean, _ = CiderD(refs).score(hypos)
     out["CIDEr"] = cider_mean
     out["METEOR"] = meteor(hypos, refs)
+    out["ROUGE_L"] = rouge_l(hypos, refs)
     return out

@@ -67,20 +67,24 @@ class CiderD:
             score += s
         return score / self.n
 
+    def score_one(self, ref_id: str, candidate: str) -> float:
+        """Score ONE candidate against `crefs[ref_id]` (reusing the corpus
+        doc-freq statistics). This is the SCST per-hypothesis reward path
+        (reference ScstRewardCriterion, utils/__init__.py:26-57): many
+        hypotheses per image, each scored against the same reference set."""
+        refs = self.crefs.get(ref_id)
+        if not refs:
+            return 0.0
+        grams = _ngrams(candidate.split(), self.n)
+        vh, nh, lh = self._vec(grams)
+        s = 0.0
+        for rg in refs:
+            vr, nr, lr = self._vec(rg)
+            s += self._sim(vh, nh, lh, vr, nr, lr)
+        return 10.0 * s / len(refs)
+
     def score(self, hypo: Dict[str, str]):
         """hypo: id → candidate caption. Returns (mean, per-id dict)."""
-        per = {}
-        for k, cand in hypo.items():
-            grams = _ngrams(cand.split(), self.n)
-            vh, nh, lh = self._vec(grams)
-            refs = self.crefs.get(k, [])
-            if not refs:
-                per[k] = 0.0
-                continue
-            s = 0.0
-            for rg in refs:
-                vr, nr, lr = self._vec(rg)
-                s += self._sim(vh, nh, lh, vr, nr, lr)
-            per[k] = 10.0 * s / len(refs)
+        per = {k: self.score_one(k, cand) for k, cand in hypo.items()}
         mean = sum(per.values()) / max(len(per), 1)
         return mean, per

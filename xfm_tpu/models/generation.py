@@ -56,12 +56,15 @@ class XFMForVQA(nn.Module):
     num_dec_layers: int = 12
     decoder_fusion_start_at: int = 0
     pad_token_id: int = 1
+    max_decode_len: int = 0   # KV-cache slots (0 = full position table)
 
     def setup(self):
         self.backbone = XFMBase(self.config)
         self.text_decoder = TextTransformer(
-            make_decoder_config(self.config, self.num_dec_layers,
-                                self.decoder_fusion_start_at), with_mlm=True)
+            dataclasses.replace(
+                make_decoder_config(self.config, self.num_dec_layers,
+                                    self.decoder_fusion_start_at),
+                decode_cache_len=self.max_decode_len), with_mlm=True)
 
     def init_all(self, images, text_ids, text_atts):
         _, _, cross = self.backbone.init_all(images, text_ids, text_atts)
@@ -155,13 +158,15 @@ class XFMForCaptioning(nn.Module):
     prompt_length: int = 0  # tokens at the start excluded from the loss
     label_smoothing: float = 0.0  # (reference models/xbert.py:1190
                                   # LabelSmoothSoftmaxCEV1 path)
+    max_decode_len: int = 0   # KV-cache slots (0 = full position table)
 
     def setup(self):
         self.backbone = XFMBase(self.config)
         dec_cfg = dataclasses.replace(
             make_decoder_config(self.config, self.num_dec_layers,
                                 self.decoder_fusion_start_at),
-            encoder_width=self.config.vision_width)
+            encoder_width=self.config.vision_width,
+            decode_cache_len=self.max_decode_len)
         self.text_decoder = TextTransformer(dec_cfg, with_mlm=True)
 
     def init_all(self, images, text_ids, text_atts):

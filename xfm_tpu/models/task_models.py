@@ -58,19 +58,19 @@ class XFMForPretrain(nn.Module):
                  idx_to_group_img=None, image_atts=None, target_bbox=None,
                  is_image=None, ret_itc=True, ret_match=True, ret_mlm=True,
                  ret_mim=False, ret_bbox=False, data_source=None,
-                 deterministic=True):
+                 vqkd_code_ids=None, deterministic=True):
         return self.loss(images, text_ids, text_atts, text_ids_masked,
                          masked_pos, masked_ids, image_mask,
                          idx_to_group_img, image_atts, target_bbox, is_image,
                          ret_itc, ret_match, ret_mlm, ret_mim, ret_bbox,
-                         data_source, deterministic)
+                         data_source, vqkd_code_ids, deterministic)
 
     def loss(self, images, text_ids, text_atts, text_ids_masked=None,
              masked_pos=None, masked_ids=None, image_mask=None,
              idx_to_group_img=None, image_atts=None, target_bbox=None,
              is_image=None, ret_itc=True, ret_match=True, ret_mlm=True,
              ret_mim=False, ret_bbox=False, data_source=None,
-             deterministic=True):
+             vqkd_code_ids=None, deterministic=True):
         bb = self.backbone
         out = {}
         zero = jnp.asarray(0.0, jnp.float32)
@@ -140,8 +140,12 @@ class XFMForPretrain(nn.Module):
                 if ret_mlm and not is_imagenet else zero)
 
         if ret_mim and not ret_bbox and image_mask is not None:
+            # vqkd_code_ids ([B, num_patches] int, computed by the task from
+            # the frozen tokenizer) selects the CE branch of get_mim_loss
+            # (reference models/xfm.py:625-629)
             out["loss_mim"] = bb.get_mim_loss(image_embeds_masked,
-                                              image_embeds, image_mask)
+                                              image_embeds, image_mask,
+                                              vqkd_code_ids=vqkd_code_ids)
         else:
             out["loss_mim"] = zero
 

@@ -74,6 +74,11 @@ class TextConfig:
     encoder_width: int = 768        # width of the cross-attended encoder states
     position_style: str = "roberta"  # 'roberta' pad-offset | 'bert' absolute
     is_decoder: bool = False
+    decode_cache_len: int = 0       # KV-cache slots for incremental decode;
+                                    # 0 = max_position_embeddings. Caption /
+                                    # VQA decodes are ~10-25 tokens — sizing
+                                    # the cache to the actual decode budget
+                                    # saves HBM and scan-carry width.
     remat: bool = False             # activation checkpointing per layer
                                     # (reference models/xbert.py:584-606)
     remat_policy: str = "full"      # 'full' = recompute everything;
@@ -197,11 +202,14 @@ class SelfAttention(nn.Module):
                 cv.value = v.astype(c.dtype)
 
         if decode and not self.is_cross:
-            # KV-cache for incremental decoding (causal generation).
+            # KV-cache for incremental decoding (causal generation), sized
+            # to the decode budget (decode_cache_len) instead of the full
+            # 514-slot position table.
+            L = c.decode_cache_len or c.max_position_embeddings
             ck = self.variable("cache", "k", jnp.zeros,
-                               (B, c.max_position_embeddings, H, D), k.dtype)
+                               (B, L, H, D), k.dtype)
             cv = self.variable("cache", "v", jnp.zeros,
-                               (B, c.max_position_embeddings, H, D), v.dtype)
+                               (B, L, H, D), v.dtype)
             idx = self.variable("cache", "index",
                                 lambda: jnp.zeros((), jnp.int32))
             i = idx.value

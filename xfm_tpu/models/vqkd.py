@@ -35,10 +35,17 @@ def l2norm(x, eps=1e-12):
 
 @dataclasses.dataclass(frozen=True)
 class VQKDConfig:
+    # Reference encoder defaults (models/model_vqkd.py:243-246 /
+    # vqkd_vit get_model_default_params): abs pos embed, NO rel-pos bias,
+    # no LayerScale (init_values=0), mean-pooling norm layout — with
+    # use_mean_pooling=True our BeitVisionTransformer applies fc_norm to the
+    # patch tokens, matching vqkd_vit's return_patch_tokens → fc_norm(t)
+    # (reference models/vqkd_vit.py:393-399).
     encoder: VisionConfig = VisionConfig(
         image_res=224, patch_size=16, embed_dim=768, depth=12, num_heads=12,
-        init_values=0.0, use_rel_pos_bias=False, use_shared_rel_pos_bias=True,
-        use_abs_pos_emb=True, use_mean_pooling=False, drop_path_rate=0.0)
+        init_values=0.0, use_rel_pos_bias=False,
+        use_shared_rel_pos_bias=False,
+        use_abs_pos_emb=True, use_mean_pooling=True, drop_path_rate=0.0)
     decoder_depth: int = 3
     codebook_size: int = 8192
     codebook_dim: int = 32
@@ -46,6 +53,36 @@ class VQKDConfig:
     ema_decay: float = 0.99
     beta: float = 1.0               # commitment weight
     dtype: Any = jnp.float32
+
+
+def vqkd_config_from_yaml(config: dict) -> VQKDConfig:
+    """YAML → VQKDConfig (reference models/xfm.py:104-112 reads
+    `tokenizer_model` / `codebook_size` / `codebook_dim`; the registry name
+    encodes decoder depth and teacher,
+    reference models/model_vqkd.py:248-379). Tiny-model test overrides via
+    `tokenizer_embed_dim` / `tokenizer_depth` / `tokenizer_num_heads`."""
+    import re
+
+    name = str(config.get("tokenizer_model",
+                          "vqkd_encoder_base_decoder_3x768x12_clip"))
+    m = re.search(r"decoder_(\d+)x\d+x\d+_(clip|dino)", name)
+    dec_depth = int(m.group(1)) if m else 3
+    teacher = m.group(2) if m else "clip"
+    base = VQKDConfig()
+    enc = dataclasses.replace(
+        base.encoder,
+        image_res=config.get("image_res", 224),
+        patch_size=config.get("patch_size", 16),
+        embed_dim=config.get("tokenizer_embed_dim", 768),
+        depth=config.get("tokenizer_depth", 12),
+        num_heads=config.get("tokenizer_num_heads", 12),
+    )
+    return VQKDConfig(
+        encoder=enc, decoder_depth=dec_depth,
+        codebook_size=config.get("codebook_size", 8192),
+        codebook_dim=config.get("codebook_dim", 32),
+        teacher_dim=512 if teacher == "clip" else 768,
+    )
 
 
 class NormEMAQuantizer(nn.Module):
@@ -132,8 +169,12 @@ class VQKD(nn.Module):
     def _encode_z(self, images, deterministic=True):
         """pre_process rescale (reference models/model_vqkd.py:125-136
         expects inputs in [-1,1]; our pipeline provides CLIP-normalized
-        floats, so the rescale is a no-op hook) → encoder patches →
-        fp32 tanh projection (reference :151-155)."""
+        floats — uint8 native-loader batches are CLIP-normalized on device
+        here, same contract as XFMBase.get_vision_embeds) → encoder patches
+        → fp32 tanh projection (reference :151-155)."""
+        from ..data.device_aug import maybe_normalize
+
+        images = maybe_normalize(images)
         feats = self.encoder(images, deterministic=deterministic)
         patches = feats[:, 1:, :].astype(jnp.float32)
         h = jnp.tanh(self.encode_task_layer[0](patches))

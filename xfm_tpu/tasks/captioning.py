@@ -69,20 +69,42 @@ def build_model(cfg, tokenizer):
         decoder_fusion_start_at=cfg.get("decoder_fusion_start_at", 0),
         pad_token_id=pad,
         prompt_length=cfg.get("prompt_length", 0),
-        label_smoothing=cfg.get("label_smoothing", 0.0)), mcfg
+        label_smoothing=cfg.get("label_smoothing", 0.0),
+        # KV cache sized to the decode budget, not the 514-slot position
+        # table (saves HBM + scan-carry width on the serving path)
+        max_decode_len=int(cfg.get("max_length", 20))
+        + int(cfg.get("prompt_length", 0)) + 2), mcfg
 
 
-def load_ckpt_into(state, mcfg, ckpt_path, decoder_from_fusion=True):
+def load_ckpt_into(state, mcfg, ckpt_path, decoder_from="fusion"):
+    """decoder_from: 'fusion' — fine-tune decoder from fusion weights
+    (reference models/model_generation.py:275,83-86); 'text' — domain
+    pretrain copies TEXT-encoder weights into the decoder (reference
+    models/model_generation.py:219-235 text_encoder.* → text_decoder.*);
+    None — leave the decoder at init."""
     from ..train.checkpoint import (import_xfm_checkpoint,
                                     load_torch_state_dict, merge_params,
                                     to_jax)
 
     sd = load_torch_state_dict(ckpt_path)
     imported = import_xfm_checkpoint(sd, mcfg)
-    if decoder_from_fusion and "backbone" in imported and \
-            "fusion_encoder" in imported["backbone"]:
-        # decoder initialized from fusion weights
-        # (reference models/model_generation.py:275,83-86)
+    if decoder_from == "text":
+        # re-import the text encoder WITH its MLM head (the reference's
+        # text_encoder.* → text_decoder.* rename copies lm_head too)
+        from ..train.checkpoint import import_text_encoder, strip_prefix
+
+        sub = strip_prefix(sd, "text_encoder.roberta.")
+        sub.update({k[len("text_encoder."):]: v for k, v in sd.items()
+                    if k.startswith("text_encoder.lm_head.")})
+        if not sub:
+            sub = strip_prefix(sd, "text_encoder.bert.")
+            sub.update({k[len("text_encoder."):]: v for k, v in sd.items()
+                        if k.startswith("text_encoder.cls.")})
+        if sub:
+            imported["text_decoder"] = import_text_encoder(
+                sub, mcfg.text, with_mlm=True)
+    elif decoder_from == "fusion" and \
+            "fusion_encoder" in imported.get("backbone", {}):
         imported["text_decoder"] = imported["backbone"]["fusion_encoder"]
     params, missing, _ = merge_params(state.params, to_jax(imported))
     return state.replace(params=params)
@@ -142,14 +164,16 @@ def main(args, config: Optional[dict] = None, scst: bool = False):
 
     step_fn = make_train_step(loss_fn)
     rng = jax.random.PRNGKey(ctx.seed)
-    for epoch in range(int(cfg.get("schedular", {}).get("epochs", 5))):
+    from .common import maybe_resume_epochs, save_epoch_checkpoint
+
+    state, start_epoch = maybe_resume_epochs(ctx, state)
+    for epoch in range(start_epoch,
+                       int(cfg.get("schedular", {}).get("epochs", 5))):
         loader = train_data.epoch(epoch_seed=ctx.seed + epoch)
         state, stats = train_epoch(ctx, state, step_fn, loader, rng, epoch,
                                    sched)
         append_log(ctx.out_dir, {"epoch": epoch, **stats})
-        from ..train.checkpoint import save_checkpoint
-
-        save_checkpoint(os.path.join(ctx.out_dir, "ckpt"), state, step=epoch)
+        save_epoch_checkpoint(ctx, state, epoch)
     results = generate_captions(model, {"params": state.params}, val_data,
                                 tokenizer, cfg.get("max_length", 20))
     metrics = _score_captions(results, cfg)
@@ -235,21 +259,8 @@ def _reward(cider, tokenizer, seqs, iids, eos, pad, n):
         key = f"{iids[j // n]}#{j}"
         hyp[key] = decode_ids(tokenizer, seq, eos, pad)
         keys.append(key)
-    # score each hypo against its image's refs
-    per = []
-    for key in keys:
-        iid = key.split("#")[0]
-        sub_refs = {key: cider.crefs.get(iid)}
-        if sub_refs[key] is None:
-            per.append(0.0)
-            continue
-        c = object.__new__(CiderD)
-        c.n, c.sigma = cider.n, cider.sigma
-        c.crefs = {key: cider.crefs[iid]}
-        c.doc_freq = cider.doc_freq
-        c.log_ref_len = cider.log_ref_len
-        _, d = c.score({key: hyp[key]})
-        per.append(d[key])
+    # score each hypo against its image's refs (corpus doc-freq reused)
+    per = [cider.score_one(key.split("#")[0], hyp[key]) for key in keys]
     return np.asarray(per, np.float32)
 
 
@@ -303,7 +314,7 @@ def main_domain_pretrain(args, config: Optional[dict] = None):
                                XFMForCaptioning.init_all, 1)
     if args.checkpoint:
         state = load_ckpt_into(state, mcfg, args.checkpoint,
-                               decoder_from_fusion=False)
+                               decoder_from="text")
 
     def loss_fn(params, batch, rng):
         loss = model.apply({"params": params}, batch["images"],

@@ -208,7 +208,10 @@ def main(args, config: Optional[dict] = None):
                            rngs={"dropout": rng}, deterministic=False)
         return loss, {}
 
-    step_fn = make_train_step(loss_fn)
+    from .common import make_task_step
+
+    # `gradient_accumulation_steps` (reference run_glue.py:314-360)
+    step_fn, accum = make_task_step(ctx, loss_fn)
     rng = jax.random.PRNGKey(ctx.seed)
 
     best = -1e9
@@ -219,24 +222,27 @@ def main(args, config: Optional[dict] = None):
         print("eval:", metrics, flush=True)
         return metrics
 
+    from .common import maybe_resume_epochs, save_epoch_checkpoint
+
+    state, start_epoch = maybe_resume_epochs(ctx, state)
     metrics = {}
-    for epoch in range(int(epochs)):
+    for epoch in range(start_epoch, int(epochs)):
         loader = batches(train_ex, tokenize, bsz, regression,
                          seed=ctx.seed + epoch)
-        state, stats = train_epoch(ctx, state, step_fn, loader, rng, epoch)
+        state, stats = train_epoch(ctx, state, step_fn, loader, rng, epoch,
+                                   accum_steps=accum)
         metrics = evaluate(ctx, model, state.params, val_ex, tokenize, task,
                            cfg.get("per_device_eval_batch_size", 8)
                            * jax.device_count())
         append_log(ctx.out_dir, {"epoch": epoch, **stats, **metrics})
         if is_main_process():
             print(f"epoch {epoch}: {stats} {metrics}", flush=True)
+        save_epoch_checkpoint(ctx, state, epoch)
         score = float(np.mean(list(metrics.values())))
         if score > best:
             best = score
-            from ..train.checkpoint import save_checkpoint
-
-            save_checkpoint(os.path.join(ctx.out_dir, "ckpt"), state,
-                            step=epoch)
+            save_epoch_checkpoint(ctx, state, epoch, name="ckpt_best",
+                                  keep=1)
 
     if task == "mnli":
         # Final mnli-mm evaluation on validation_mismatched

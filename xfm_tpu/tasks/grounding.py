@@ -58,7 +58,11 @@ def evaluate(model, params, data: GroundingData):
     return {"iou50_acc": hits / max(total, 1)}
 
 
-def main(args, config: Optional[dict] = None, domain_pretrain: bool = False):
+def main(args, config: Optional[dict] = None,
+         from_orbax: Optional[str] = None):
+    """Grounding_bbox fine-tune (reference Grounding_bbox.py). `from_orbax`
+    overlays params from a stage-1 domain-pretrain Orbax checkpoint
+    (reference --load_bbox_pretrain hand-off, run.py:311-318)."""
     ctx = TaskContext.from_args(args)
     cfg = ctx.config
     image_res = cfg.get("image_res", 384)
@@ -93,6 +97,17 @@ def main(args, config: Optional[dict] = None, domain_pretrain: bool = False):
                                     to_jax(import_xfm_checkpoint(sd, mcfg)))
         state = state.replace(params=params)
 
+    if from_orbax:
+        from ..train.checkpoint import (load_params_from_checkpoint,
+                                        merge_params)
+
+        loaded = load_params_from_checkpoint(from_orbax)
+        params, missing, _ = merge_params(state.params, loaded)
+        state = state.replace(params=params)
+        if is_main_process():
+            print(f"### loaded domain-pretrain params from {from_orbax} "
+                  f"({len(missing)} fresh)", flush=True)
+
     if args.evaluate:
         metrics = evaluate(model, state.params, test_data)
         print(metrics, flush=True)
@@ -107,8 +122,12 @@ def main(args, config: Optional[dict] = None, domain_pretrain: bool = False):
 
     step_fn = make_train_step(loss_fn)
     rng = jax.random.PRNGKey(ctx.seed)
+    from .common import maybe_resume_epochs, save_epoch_checkpoint
+
+    state, start_epoch = maybe_resume_epochs(ctx, state)
     best = 0.0
-    for epoch in range(int(cfg.get("schedular", {}).get("epochs", 10))):
+    for epoch in range(start_epoch,
+                       int(cfg.get("schedular", {}).get("epochs", 10))):
         loader = train_data.epoch(epoch_seed=ctx.seed + epoch)
         state, stats = train_epoch(ctx, state, step_fn, loader, rng, epoch,
                                    sched)
@@ -116,20 +135,58 @@ def main(args, config: Optional[dict] = None, domain_pretrain: bool = False):
         append_log(ctx.out_dir, {"epoch": epoch, **stats, **metrics})
         if is_main_process():
             print(f"epoch {epoch}: {metrics}", flush=True)
+        save_epoch_checkpoint(ctx, state, epoch)
         if metrics["iou50_acc"] > best:
             best = metrics["iou50_acc"]
-            from ..train.checkpoint import save_checkpoint
-
-            save_checkpoint(os.path.join(ctx.out_dir, "ckpt"), state,
-                            step=epoch)
+            save_epoch_checkpoint(ctx, state, epoch, name="ckpt_best",
+                                  keep=1)
     return {"best_iou50": best}
 
 
 def main_bbox_pipeline(args, config: Optional[dict] = None):
-    """refcoco_bbox two-stage pipeline (reference run.py:311-318): region
-    domain-pretrain then fine-tune. With --load_ckpt_from pointing at a
-    domain-pretrained checkpoint only the fine-tune stage runs."""
-    return main(args, config)
+    """refcoco_bbox two-stage pipeline (reference run.py:311-318):
+    stage 1 = region-stream domain pretrain with itc/itm/mlm/bbox/giou
+    (reference Grounding_bbox_pretrain.py:181-207; here it reuses the
+    pretrain task on the region stream), stage 2 = bbox fine-tune seeded
+    from the stage-1 checkpoint. With --load_ckpt_from pointing at a
+    domain-pretrained Orbax checkpoint dir only the fine-tune stage runs;
+    --evaluate also skips stage 1.
+
+    The stage-1 config is resolved from the fine-tune YAML's
+    `domain_pretrain_config` key, else a sibling
+    `Grounding_bbox_pretrain.yaml`."""
+    import copy as _copy
+    import os as _os
+
+    from_orbax = getattr(args, "load_ckpt_from", None)
+    if not args.evaluate and not from_orbax:
+        from ..core.config import load_yaml
+
+        cfg0 = load_yaml(args.config)
+        dp_cfg = cfg0.get("domain_pretrain_config")
+        if dp_cfg and not _os.path.isabs(dp_cfg):
+            dp_cfg = _os.path.join(_os.path.dirname(args.config), dp_cfg)
+        if not dp_cfg:
+            cand = _os.path.join(_os.path.dirname(args.config),
+                                 "Grounding_bbox_pretrain.yaml")
+            dp_cfg = cand if _os.path.exists(cand) else None
+        if dp_cfg and _os.path.exists(dp_cfg):
+            from . import pretrain
+
+            a2 = _copy.copy(args)
+            a2.config = dp_cfg
+            a2.output_dir = _os.path.join(args.output_dir, "bbox_pretrain")
+            if is_main_process():
+                print(f"### refcoco_bbox stage 1: domain pretrain "
+                      f"({dp_cfg})", flush=True)
+            pretrain.main(a2)
+            from_orbax = _os.path.join(a2.output_dir, "ckpt")
+            args = _copy.copy(args)
+            args.checkpoint = None  # stage-2 starts from stage-1 params
+        elif is_main_process():
+            print("### refcoco_bbox: no domain-pretrain config found, "
+                  "running fine-tune only", flush=True)
+    return main(args, config, from_orbax=from_orbax)
 
 
 def main_weakly_supervised(args, config: Optional[dict] = None):

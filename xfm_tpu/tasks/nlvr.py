@@ -85,8 +85,12 @@ def main(args, config: Optional[dict] = None):
 
     step_fn = make_train_step(loss_fn)
     rng = jax.random.PRNGKey(ctx.seed)
+    from .common import maybe_resume_epochs, save_epoch_checkpoint
+
+    state, start_epoch = maybe_resume_epochs(ctx, state)
     best = 0.0
-    for epoch in range(int(cfg.get("schedular", {}).get("epochs", 10))):
+    for epoch in range(start_epoch,
+                       int(cfg.get("schedular", {}).get("epochs", 10))):
         loader = train_data.epoch(epoch_seed=ctx.seed + epoch)
         state, stats = train_epoch(ctx, state, step_fn, loader, rng, epoch,
                                    sched)
@@ -98,10 +102,9 @@ def main(args, config: Optional[dict] = None):
         if is_main_process():
             print(f"epoch {epoch}: val {val['acc']:.4f} "
                   f"test {test['acc']:.4f}", flush=True)
+        save_epoch_checkpoint(ctx, state, epoch)
         if val["acc"] > best:
             best = val["acc"]
-            from ..train.checkpoint import save_checkpoint
-
-            save_checkpoint(os.path.join(ctx.out_dir, "ckpt"), state,
-                            step=epoch)
+            save_epoch_checkpoint(ctx, state, epoch, name="ckpt_best",
+                                  keep=1)
     return {"best_val_acc": best}

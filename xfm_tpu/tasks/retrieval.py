@@ -57,10 +57,19 @@ def encode_corpus(model, params, eval_data: RetrievalEvalData,
 
 
 def rerank_scores(model, params, img_embeds, txt_embeds, txt_atts, sims,
-                  k_test: int, chunk: int = 8):
+                  k_test: int, chunk: int = 8,
+                  process_index: Optional[int] = None,
+                  process_count: Optional[int] = None):
     """Stage 2 (reference Retrieval.py:135-173): ITM logits on the top-k_test
     candidates in both directions. Returns (score_i2t, score_t2i) filled with
-    -100 off the candidate set."""
+    -100 off the candidate set.
+
+    Multi-host: each process reranks its `process_index`-strided row slice
+    only (reference Retrieval.py:135-139 row-slices across ranks);
+    `merge_rerank_scores` combines the slices — eval wall-time scales with
+    1/process_count."""
+    pid = jax.process_index() if process_index is None else process_index
+    pcount = jax.process_count() if process_count is None else process_count
 
     @jax.jit
     def itm_chunk(params, image_embeds, text_embeds, text_atts):
@@ -70,30 +79,48 @@ def rerank_scores(model, params, img_embeds, txt_embeds, txt_atts, sims,
     n_img, n_txt = sims.shape
     score_i2t = np.full((n_img, n_txt), -100.0, np.float32)
     topk_t = np.argsort(-sims, axis=1)[:, :k_test]
-    for s in range(0, n_img, chunk):
-        rows = range(s, min(s + chunk, n_img))
-        im = np.repeat(img_embeds[list(rows)], k_test, axis=0)
-        cand = topk_t[list(rows)].reshape(-1)
+    my_img_rows = np.arange(pid, n_img, pcount)
+    for s in range(0, len(my_img_rows), chunk):
+        rows = my_img_rows[s:s + chunk]
+        im = np.repeat(img_embeds[rows], k_test, axis=0)
+        cand = topk_t[rows].reshape(-1)
         scores = itm_chunk(params, jnp.asarray(im),
                            jnp.asarray(txt_embeds[cand]),
                            jnp.asarray(txt_atts[cand]))
-        scores = np.asarray(scores).reshape(len(list(rows)), k_test)
+        scores = np.asarray(scores).reshape(len(rows), k_test)
         for j, r in enumerate(rows):
             score_i2t[r, topk_t[r]] = scores[j]
 
     score_t2i = np.full((n_txt, n_img), -100.0, np.float32)
     topk_i = np.argsort(-sims.T, axis=1)[:, :k_test]
-    for s in range(0, n_txt, chunk):
-        rows = range(s, min(s + chunk, n_txt))
-        cand = topk_i[list(rows)].reshape(-1)
-        te = np.repeat(txt_embeds[list(rows)], k_test, axis=0)
-        ta = np.repeat(txt_atts[list(rows)], k_test, axis=0)
+    my_txt_rows = np.arange(pid, n_txt, pcount)
+    for s in range(0, len(my_txt_rows), chunk):
+        rows = my_txt_rows[s:s + chunk]
+        cand = topk_i[rows].reshape(-1)
+        te = np.repeat(txt_embeds[rows], k_test, axis=0)
+        ta = np.repeat(txt_atts[rows], k_test, axis=0)
         scores = itm_chunk(params, jnp.asarray(img_embeds[cand]),
                            jnp.asarray(te), jnp.asarray(ta))
-        scores = np.asarray(scores).reshape(len(list(rows)), k_test)
+        scores = np.asarray(scores).reshape(len(rows), k_test)
         for j, r in enumerate(rows):
             score_t2i[r, topk_i[r]] = scores[j]
     return score_i2t, score_t2i
+
+
+def merge_rerank_scores(score_i2t, score_t2i):
+    """Combine per-process row slices: every row is owned by exactly one
+    process (others hold the -100 fill), so an elementwise max across
+    processes reconstructs the full matrices (replacing the reference's
+    all_reduce(SUM) of -100-filled matrices, Retrieval.py:175-178, which
+    relied on a uniform shift not changing per-row ranking). No-op on one
+    process."""
+    if jax.process_count() == 1:
+        return score_i2t, score_t2i
+    from jax.experimental import multihost_utils
+
+    all_i2t = np.asarray(multihost_utils.process_allgather(score_i2t))
+    all_t2i = np.asarray(multihost_utils.process_allgather(score_t2i))
+    return np.max(all_i2t, axis=0), np.max(all_t2i, axis=0)
 
 
 def itm_eval(score_i2t, score_t2i, img2txt, txt2img) -> dict:
@@ -129,6 +156,7 @@ def evaluation(model, params, eval_data: RetrievalEvalData, config: dict):
     k_test = min(config.get("k_test", 256), sims.shape[1], sims.shape[0])
     s_i2t, s_t2i = rerank_scores(model, params, img_embeds, txt_embeds,
                                  txt_atts, sims, k_test)
+    s_i2t, s_t2i = merge_rerank_scores(s_i2t, s_t2i)
     return itm_eval(s_i2t, s_t2i, eval_data.img2txt, eval_data.txt2img)
 
 
@@ -208,8 +236,15 @@ def main(args, config: Optional[dict] = None):
         return loss_itc + loss_itm, {"loss_itc": loss_itc,
                                      "loss_itm": loss_itm}
 
-    step_fn = make_train_step(loss_fn)
+    from .common import make_task_step
+
+    # `accumulate_steps` (reference Retrieval.py:45,55-65): K micro-batches
+    # per optimizer step
+    step_fn, accum = make_task_step(ctx, loss_fn)
     rng = jax.random.PRNGKey(ctx.seed)
+    from .common import maybe_resume_epochs, save_epoch_checkpoint
+
+    state, start_epoch = maybe_resume_epochs(ctx, state)
     # zero-shot evaluation before training (reference Retrieval.py:330-337);
     # with epochs: 0 this IS the result (the *_zero configs)
     zs = evaluation(model, state.params, test_data, cfg)
@@ -220,20 +255,19 @@ def main(args, config: Optional[dict] = None):
     epochs = int(cfg.get("schedular", {}).get("epochs", 5))
     if epochs == 0:
         return zs
-    for epoch in range(epochs):
+    for epoch in range(start_epoch, epochs):
         loader = train_data.epoch(epoch_seed=ctx.seed + epoch)
         state, stats = train_epoch(ctx, state, step_fn, loader, rng, epoch,
-                                   sched)
+                                   sched, accum_steps=accum)
         metrics = evaluation(model, state.params, test_data, cfg)
         append_log(ctx.out_dir, {"epoch": epoch, **stats, **metrics})
         if is_main_process():
             print(f"epoch {epoch}: {metrics}", flush=True)
+        save_epoch_checkpoint(ctx, state, epoch)
         if metrics["r_mean"] > best:
             best = metrics["r_mean"]
-            from ..train.checkpoint import save_checkpoint
-
-            save_checkpoint(os.path.join(ctx.out_dir, "ckpt"), state,
-                            step=epoch)
+            save_epoch_checkpoint(ctx, state, epoch, name="ckpt_best",
+                                  keep=1)
     return {"best_r_mean": best}
 
 

@@ -70,6 +70,44 @@ def evaluate(model, params, data: VQAData, k: int, out_dir: str):
                            "vqa_result")
 
 
+def calculate_acc(result_path: str, data: VQAData) -> dict:
+    """Accuracy when ground truth is present in the test annotations
+    (reference VQA.py:103-122 exact match; plus the official 10-answer
+    weighted accuracy via eval/vqa_eval.py when multi-answer annotations are
+    available — reference vqaTools/vqaEval.py)."""
+    import json
+
+    exact_gt = {}
+    multi_gt = {}
+    for ann in data.ann:
+        qid = ann.get("question_id")
+        if qid is None:
+            continue
+        if isinstance(ann.get("answer"), str):
+            exact_gt[int(qid)] = ann["answer"].strip()
+        elif isinstance(ann.get("answer"), list) and ann["answer"]:
+            multi_gt[int(qid)] = [str(a) for a in ann["answer"]]
+    if not exact_gt and not multi_gt:
+        return {}
+    with open(result_path) as f:
+        preds = json.load(f)
+    out = {}
+    if exact_gt:
+        n = n_correct = 0
+        for p in preds:
+            qid = int(p["question_id"])
+            if qid in exact_gt:
+                n += 1
+                n_correct += int(p["answer"].strip() == exact_gt[qid])
+        if n:
+            out["vqa_acc_exact"] = n_correct / n
+    if multi_gt:
+        from ..eval.vqa_eval import vqa_accuracy
+
+        out["vqa_acc_official"] = vqa_accuracy(preds, multi_gt)
+    return out
+
+
 def main(args, config: Optional[dict] = None):
     ctx = TaskContext.from_args(args)
     cfg = ctx.config
@@ -121,7 +159,11 @@ def main(args, config: Optional[dict] = None):
         path = evaluate(model, state.params, test_data,
                         cfg.get("k_test", 128), ctx.out_dir)
         print("wrote", path, flush=True)
-        return path
+        acc = calculate_acc(path, test_data) if is_main_process() else {}
+        if acc:
+            print(acc, flush=True)
+            append_log(ctx.out_dir, acc)
+        return {"result_file": path, **acc} if acc else path
 
     def loss_fn(params, batch, rng):
         loss = model.apply({"params": params}, batch["images"],
@@ -135,14 +177,21 @@ def main(args, config: Optional[dict] = None):
 
     step_fn = make_train_step(loss_fn)
     rng = jax.random.PRNGKey(ctx.seed)
-    for epoch in range(int(cfg.get("schedular", {}).get("epochs", 8))):
+    from .common import maybe_resume_epochs, save_epoch_checkpoint
+
+    state, start_epoch = maybe_resume_epochs(ctx, state)
+    for epoch in range(start_epoch,
+                       int(cfg.get("schedular", {}).get("epochs", 8))):
         loader = train_data.epoch(epoch_seed=ctx.seed + epoch)
         state, stats = train_epoch(ctx, state, step_fn, loader, rng, epoch,
                                    sched)
         append_log(ctx.out_dir, {"epoch": epoch, **stats})
-        from ..train.checkpoint import save_checkpoint
-
-        save_checkpoint(os.path.join(ctx.out_dir, "ckpt"), state, step=epoch)
+        save_epoch_checkpoint(ctx, state, epoch)
     path = evaluate(model, state.params, test_data, cfg.get("k_test", 128),
                     ctx.out_dir)
+    acc = calculate_acc(path, test_data) if is_main_process() else {}
+    if acc:
+        print(acc, flush=True)
+        append_log(ctx.out_dir, acc)
+        return {"result_file": path, **acc}
     return path

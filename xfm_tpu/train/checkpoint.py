@@ -223,27 +223,32 @@ def import_beit2(sd: Dict[str, np.ndarray], config: VisionConfig) -> Dict[str, A
             patchify_kernel_from_conv(jnp.asarray(sd["patch_embed.proj.weight"]))),
         "patch_embed_bias": sd["patch_embed.proj.bias"],
         "cls_token": sd["cls_token"],
-        "mask_token": sd["mask_token"],
     }
+    if "mask_token" in sd:  # absent in VQ-KD tokenizer encoders
+        p["mask_token"] = sd["mask_token"]
     if "pos_embed" in sd and config.use_abs_pos_emb:
         p["pos_embed"] = interpolate_abs_pos_embed(sd["pos_embed"],
                                                    config.num_patches)
     window = (config.grid_size, config.grid_size)
     for i in range(config.depth):
         b = f"blocks.{i}"
+        attn = {
+            "qkv": {"kernel": sd[f"{b}.attn.qkv.weight"].T},
+            "q_bias": sd[f"{b}.attn.q_bias"],
+            "v_bias": sd[f"{b}.attn.v_bias"],
+            "proj": _dense(sd, f"{b}.attn.proj"),
+        }
+        if f"{b}.attn.relative_position_bias_table" in sd:
+            # absent in VQ-KD tokenizer encoders (abs-pos-embed only)
+            attn["relative_position_bias_table"] = \
+                interpolate_rel_pos_bias_table(
+                    sd[f"{b}.attn.relative_position_bias_table"], window)
         blk = {
             "norm1": _ln(sd, f"{b}.norm1"),
             "norm2": _ln(sd, f"{b}.norm2"),
             "fc1": _dense(sd, f"{b}.mlp.fc1"),
             "fc2": _dense(sd, f"{b}.mlp.fc2"),
-            "attn": {
-                "qkv": {"kernel": sd[f"{b}.attn.qkv.weight"].T},
-                "q_bias": sd[f"{b}.attn.q_bias"],
-                "v_bias": sd[f"{b}.attn.v_bias"],
-                "proj": _dense(sd, f"{b}.attn.proj"),
-                "relative_position_bias_table": interpolate_rel_pos_bias_table(
-                    sd[f"{b}.attn.relative_position_bias_table"], window),
-            },
+            "attn": attn,
         }
         if f"{b}.gamma_1" in sd:  # LayerScale checkpoints only
             blk["gamma_1"] = sd[f"{b}.gamma_1"]
@@ -424,6 +429,10 @@ def import_xfm_checkpoint(sd: Dict[str, np.ndarray], xfm_config,
         backbone["bbox_head"] = import_mlp_head(sd, "bbox_head")
     if "fusion_proj.weight" in sd:
         backbone["fusion_proj"] = _dense(sd, "fusion_proj")
+    if "lm_head.weight" in sd and getattr(c, "use_vision_tokenizer", False):
+        # MIM code-prediction head under the VQ-KD path
+        # (reference models/xfm.py:111 `self.lm_head`)
+        backbone["mim_lm_head"] = _dense(sd, "lm_head")
 
     params: Dict[str, Any] = {"backbone": backbone}
     if head == "cls_mlp" and "cls_head.0.weight" in sd:
@@ -431,6 +440,31 @@ def import_xfm_checkpoint(sd: Dict[str, np.ndarray], xfm_config,
     elif head == "cls_deep" and "cls_head.0.weight" in sd:
         params["cls_head"] = import_deep_mlp_head(sd, "cls_head")
     return params
+
+
+def import_vqkd_checkpoint(sd: Dict[str, np.ndarray],
+                           vqkd_config) -> Dict[str, Any]:
+    """Torch VQ-KD tokenizer checkpoint → flax variable trees
+    {'params': ..., 'vq_stats': ...} for xfm_tpu.models.vqkd.VQKD used as a
+    frozen MIM tokenizer. Mirrors the reference as_tokenzer load path
+    (reference models/model_vqkd.py:274-290: teacher/scaling/loss keys
+    dropped; encoder + encode_task_layer + quantizer retained — the decoder
+    is unused for tokenization and left at init here)."""
+    sd = {k: v for k, v in sd.items()
+          if not k.startswith(("teacher", "scaling", "loss"))}
+    enc_sd = strip_prefix(sd, "encoder.")
+    params: Dict[str, Any] = {
+        "encoder": import_beit2(enc_sd, vqkd_config.encoder),
+        # nn.Sequential(Linear, Tanh, Linear) → encode_task_layer.0/.2
+        # (reference models/model_vqkd.py:86-89)
+        "encode_task_layer_0": _dense(sd, "encode_task_layer.0"),
+        "encode_task_layer_1": _dense(sd, "encode_task_layer.2"),
+    }
+    vq_stats = {"quantize": {
+        "codebook": sd["quantize.embedding.weight"],
+        "cluster_size": sd["quantize.embedding.cluster_size"],
+    }}
+    return {"params": params, "vq_stats": vq_stats}
 
 
 def to_jax(tree):
@@ -617,6 +651,21 @@ def save_checkpoint(ckpt_dir: str, state, step: int | None = None,
     mngr.save(step, args=ocp.args.StandardSave(payload))
     mngr.wait_until_finished()
     return ckpt_dir
+
+
+def load_params_from_checkpoint(ckpt_dir: str, step: int | None = None):
+    """Params-only restore from an Orbax checkpoint dir (raw tree, no state
+    template) — used for stage hand-offs where the next stage has a
+    different optimizer/head structure (e.g. refcoco_bbox domain-pretrain →
+    fine-tune, reference run.py:311-318)."""
+    import orbax.checkpoint as ocp
+
+    mngr = ocp.CheckpointManager(os.path.abspath(ckpt_dir))
+    step = step if step is not None else mngr.latest_step()
+    if step is None:
+        raise FileNotFoundError(f"no checkpoint under {ckpt_dir}")
+    restored = mngr.restore(step)
+    return restored["params"]
 
 
 def restore_checkpoint(ckpt_dir: str, state, step: int | None = None):
