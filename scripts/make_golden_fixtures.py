@@ -232,12 +232,231 @@ def make_roberta():
     print("xroberta fixture:", mlm_out.shape)
 
 
+def _tiny_reference_xfm(tmpdir, use_mlm=True, use_bbox=True):
+    """Reference XFMBase-family model at tiny size: fabricated roberta
+    config dir + a monkeypatched tiny BEiT-2 vision builder (the reference's
+    build_vision_encoder hardcodes base/large sizes, models/xfm.py:208-230)."""
+    import json
+
+    import models.xfm as rxfm
+    from functools import partial
+    import torch.nn as nn
+
+    txtdir = os.path.join(tmpdir, "roberta-tiny")
+    os.makedirs(txtdir, exist_ok=True)
+    with open(os.path.join(txtdir, "config.json"), "w") as f:
+        json.dump({
+            "architectures": ["RobertaForMaskedLM"], "vocab_size": 99,
+            "hidden_size": 48, "num_hidden_layers": 4,
+            "num_attention_heads": 4, "intermediate_size": 96,
+            "max_position_embeddings": 40, "type_vocab_size": 1,
+            "layer_norm_eps": 1e-5, "pad_token_id": 1, "bos_token_id": 0,
+            "eos_token_id": 2, "hidden_act": "gelu",
+            "model_type": "roberta"}, f)
+
+    def tiny_vision(config, load_params=False):
+        from models.beit2 import VisionTransformer
+
+        m = VisionTransformer(
+            img_size=64, patch_size=16, embed_dim=96, depth=3, num_heads=4,
+            mlp_ratio=4, qkv_bias=True,
+            norm_layer=partial(nn.LayerNorm, eps=1e-6), init_values=0.1,
+            use_abs_pos_emb=False, use_rel_pos_bias=True,
+            use_mean_pooling=True, init_scale=0.001, drop_path_rate=0.0,
+            num_masking_patches=5, min_num_patches=1)
+        return m, 96
+
+    rxfm.build_vision_encoder = tiny_vision
+
+    cfg = {
+        "text_encoder": txtdir, "use_beit_v2": True,
+        "vision_config": "base", "image_res": 64, "patch_size": 16,
+        "local_attn_depth": -1,
+        "text_num_hidden_layers": 4, "text_fusion_start_at": 4,
+        "fusion_num_hidden_layers": 2, "fusion_fusion_start_at": 0,
+        "embed_dim": 32, "temp": 0.07,
+        "max_tokens": 9, "max_masks": 3,
+    }
+    model = rxfm.XFMBase(cfg, load_vision_params=False,
+                         load_text_params=False, use_contrastive_loss=True,
+                         use_matching_loss=True, use_mlm_loss=use_mlm,
+                         use_bbox_loss=use_bbox)
+    return model, cfg
+
+
+def make_xfm_losses():
+    """Loss-level parity fixture: ITC (plain + idx), fuse-MLM, MIM, ITM with
+    recorded hard negatives, bbox L1+GIoU — from the reference XFMBase
+    (models/xfm.py:624-840)."""
+    import tempfile
+
+    import torch.distributed as dist
+
+    if not dist.is_initialized():
+        dist.init_process_group(
+            backend="gloo", init_method=f"file://{tempfile.mktemp()}",
+            world_size=1, rank=0)
+
+    tmpdir = tempfile.mkdtemp()
+    model, _ = _tiny_reference_xfm(tmpdir)
+    seed_weights(model, 5)
+    with torch.no_grad():  # keep temp in the clamp range [0.001, 0.5]
+        model.temp.fill_(0.07)
+    model.eval()
+
+    r = np.random.RandomState(6)
+    B, T, M, N = 2, 9, 3, 16
+    image = torch.from_numpy(r.randn(B, 3, 64, 64).astype(np.float32))
+    ids = torch.from_numpy(r.randint(3, 99, (B, T)).astype(np.int64))
+    atts = torch.ones(B, T, dtype=torch.long)
+    atts[1, 6:] = 0
+    ids_masked = torch.from_numpy(r.randint(3, 99, (B, T)).astype(np.int64))
+    masked_pos = torch.from_numpy(
+        np.stack([np.arange(1, M + 1)] * B).astype(np.int64))
+    masked_ids = torch.from_numpy(r.randint(3, 99, (B, M)).astype(np.int64))
+    mask = torch.zeros(B, N, dtype=torch.bool)
+    mask[:, :5] = True
+    target_bbox = torch.from_numpy(
+        np.clip(r.rand(B, 4).astype(np.float32), 0.2, 0.8))
+    idx = torch.tensor([7, 7])  # duplicate → idx-variant soft labels
+
+    # pin the sampled hard negatives and record them
+    neg_seq = iter([1, 0, 1, 0])  # image_neg then text_neg draws, B each
+    fixed = []
+
+    def fake_multinomial(weights, num, *a, **k):
+        v = next(neg_seq)
+        fixed.append(v)
+        return torch.tensor([v])
+
+    mult = torch.multinomial
+    torch.multinomial = fake_multinomial
+    try:
+        with torch.no_grad():
+            image_embeds, image_atts_t = model.get_vision_embeds(image)
+            # masked forward: replay our host-side mask via the mask_token
+            # injection exactly as forward_avgpool does
+            # (reference models/beit2.py:431-441) with bool_masked_pos
+            x = model.vision_encoder.patch_embed(image)
+            w = mask.unsqueeze(-1).type_as(x)
+            mask_token = model.vision_encoder.mask_token.expand(
+                x.shape[0], x.shape[1], -1)
+            x_masked = x * (1 - w) + mask_token * w
+            # manual trunk run with masked tokens (mirrors forward_avgpool,
+            # reference models/beit2.py:431-466, with our recorded mask
+            # replacing the internally-generated one)
+            ve = model.vision_encoder
+            cls = ve.cls_token.expand(x.shape[0], -1, -1)
+            xm = torch.cat((cls, x_masked), dim=1)
+            rel = ve.rel_pos_bias() if ve.rel_pos_bias is not None else None
+            for blk in ve.blocks:
+                xm = blk(xm, rel_pos_bias=rel)
+            _, patches = torch.split(xm, [1, xm.shape[1] - 1], dim=1)
+            patches = ve.fc_norm(ve.norm(patches))
+            xm_cls = ve.avgpool(patches.transpose(1, 2)).transpose(1, 2)
+            image_embeds_masked = torch.cat([xm_cls, patches], dim=1)
+
+            text_embeds = model.get_text_embeds(ids, atts)
+            image_feat, text_feat = model.get_features(image_embeds,
+                                                       text_embeds)
+            loss_itc = model.get_contrastive_loss(image_feat, text_feat)
+            loss_itc_idx = model.get_contrastive_loss(image_feat, text_feat,
+                                                      idx=idx)
+            loss_itm = model.get_matching_loss(
+                image_embeds, image_atts_t, image_feat, ids, atts,
+                text_feat, text_embeds=text_embeds, is_pretrain=True)
+            loss_mlm = model.get_fuse_mlm_loss(ids_masked, atts,
+                                               image_embeds, image_atts_t,
+                                               masked_pos, masked_ids)
+            loss_mim = model.get_mim_loss(image_embeds_masked, image_embeds,
+                                          mask)
+            coords = model.predict_bbox(image_embeds, ids, atts,
+                                        text_embeds)
+            loss_bbox, loss_giou = model.get_bbox_loss(coords, target_bbox)
+    finally:
+        torch.multinomial = mult
+
+    np.savez(
+        os.path.join(OUT, "golden_xfm_losses.npz"),
+        image=image.numpy(), ids=ids.numpy(), atts=atts.numpy(),
+        ids_masked=ids_masked.numpy(), masked_pos=masked_pos.numpy(),
+        masked_ids=masked_ids.numpy(), mask=mask.numpy(),
+        target_bbox=target_bbox.numpy(), idx=idx.numpy(),
+        image_neg=np.asarray(fixed[:2]), text_neg=np.asarray(fixed[2:]),
+        loss_itc=loss_itc.item(), loss_itc_idx=loss_itc_idx.item(),
+        loss_itm=loss_itm.item(), loss_mlm=loss_mlm.item(),
+        loss_mim=loss_mim.item(), loss_bbox=loss_bbox.item(),
+        loss_giou=loss_giou.item(), coords=coords.numpy(),
+        **{f"sd::{k}": v.numpy() for k, v in model.state_dict().items()},
+    )
+    print("xfm losses fixture:",
+          {k: round(v.item(), 4) for k, v in dict(
+              itc=loss_itc, itm=loss_itm, mlm=loss_mlm, mim=loss_mim,
+              bbox=loss_bbox, giou=loss_giou).items()})
+
+
+def make_decode():
+    """Greedy-decode parity fixture: reference RobertaForCausalLM with
+    cross-attention decodes step-by-step with past_key_values; records the
+    greedy token sequence + per-step logits
+    (reference models/xroberta.py:963-1153 causal decoder path)."""
+    import transformers.modeling_utils as mu
+    import transformers.pytorch_utils as pu
+
+    for sym in ("apply_chunking_to_forward",
+                "find_pruneable_heads_and_indices", "prune_linear_layer"):
+        if not hasattr(mu, sym):
+            setattr(mu, sym, getattr(pu, sym))
+
+    from models.xroberta import RobertaConfig, RobertaForCausalLM
+
+    cfg = RobertaConfig(
+        vocab_size=99, hidden_size=48, num_hidden_layers=2,
+        num_attention_heads=4, intermediate_size=96,
+        max_position_embeddings=40, type_vocab_size=1, fusion_layer=0,
+        encoder_width=96, pad_token_id=1, bos_token_id=0, eos_token_id=2,
+        layer_norm_eps=1e-5, is_decoder=True, add_cross_attention=True)
+    torch.manual_seed(0)
+    m = RobertaForCausalLM(config=cfg)
+    seed_weights(m, 7)
+    m.eval()
+
+    r = np.random.RandomState(8)
+    B, L = 2, 8
+    enc = torch.from_numpy(r.randn(B, 5, 96).astype(np.float32))
+    enc_atts = torch.ones(B, 5, dtype=torch.long)
+    cur = torch.zeros(B, 1, dtype=torch.long)  # BOS
+    seqs = [cur]
+    step_logits = []
+    past = None
+    with torch.no_grad():
+        for _ in range(L):
+            out = m(cur, encoder_hidden_states=enc,
+                    encoder_attention_mask=enc_atts, past_key_values=past,
+                    use_cache=True, return_dict=True)
+            logits = out.logits[:, -1, :]
+            step_logits.append(logits.numpy())
+            past = out.past_key_values
+            cur = logits.argmax(-1, keepdim=True)
+            seqs.append(cur)
+    seq = torch.cat(seqs, dim=1)
+    np.savez(
+        os.path.join(OUT, "golden_decode.npz"),
+        enc=enc.numpy(), enc_atts=enc_atts.numpy(), seq=seq.numpy(),
+        step_logits=np.stack(step_logits, axis=1),
+        **{f"sd::{k}": v.numpy() for k, v in m.state_dict().items()},
+    )
+    print("decode fixture:", seq.numpy().tolist())
+
+
 def main():
     os.makedirs(OUT, exist_ok=True)
     install_stubs()
     sys.path.insert(0, "/root/reference")
     make_beit()
     make_roberta()
+    make_xfm_losses()
+    make_decode()
 
 
 if __name__ == "__main__":

@@ -182,3 +182,64 @@ def test_tp_loss_matches_replicated(eight_devices, mesh_shape):
     with mesh:
         sharded = float(jax.jit(losses_det)(sparams, sbatch))
     np.testing.assert_allclose(sharded, base, rtol=3e-4, atol=3e-4)
+
+
+@pytest.mark.slow
+def test_no_involuntary_remat_on_3d_mesh(tmp_path):
+    """Compiling the full pretrain train step on a dp2 x fsdp2 x tp2 mesh
+    must emit NO '[SPMD] Involuntary full rematerialization' warnings
+    (MULTICHIP_r01 regression: the 2B vision pair concat re-laid the batch
+    axis; fixed by interleave-stack + local reshape in beit2.pair)."""
+    import os
+    import subprocess
+    import sys
+
+    code = r"""
+import os, sys
+sys.path.insert(0, %r)
+import jax
+jax.config.update("jax_platforms", "cpu")
+import jax.numpy as jnp
+import __graft_entry__ as g
+from xfm_tpu.core.mesh import make_mesh, shard_batch
+from xfm_tpu.core.partitioning import param_shardings
+from xfm_tpu.models import XFMForPretrain
+from xfm_tpu.train.optim import create_optimizer
+from xfm_tpu.train.schedules import linear_warmup_decay
+from xfm_tpu.train.train_state import TrainState
+mesh = make_mesh(jax.devices()[:8], data=2, fsdp=2, tensor=2)
+cfg = g._xfm_config(hidden=128, layers=2, heads=4, inter=256, image_res=64,
+                    vocab=512, dtype=jnp.float32)
+model = XFMForPretrain(cfg)
+batch = g._batch(B=8, T=16, M=4, image_res=64,
+                 num_patches=cfg.vision.num_patches, vocab=512)
+def init_params():
+    return model.init({"params": jax.random.PRNGKey(1)}, batch["images"],
+                      batch["text_ids"], batch["text_atts"],
+                      method=XFMForPretrain.init_all)["params"]
+pshard = param_shardings(jax.eval_shape(init_params), mesh)
+with mesh:
+    params = jax.jit(init_params, out_shardings=pshard)()
+tx = create_optimizer(params, linear_warmup_decay(1e-4, 100, 10))
+with mesh:
+    opt = jax.jit(tx.init)(params)
+state = TrainState(step=jnp.zeros((), jnp.int32), params=params,
+                   opt_state=opt, tx=tx)
+loss_fn = g._loss_fn(model)
+def train_step(state, batch, rng):
+    (loss, aux), grads = jax.value_and_grad(
+        lambda p: loss_fn(p, batch, rng), has_aux=True)(state.params)
+    return state.apply_gradients(grads), loss
+b = shard_batch(mesh, batch)
+with mesh:
+    jax.jit(train_step).lower(state, b, jax.random.PRNGKey(0)).compile()
+print("compiled-ok")
+""" % os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    env = dict(os.environ,
+               XLA_FLAGS="--xla_force_host_platform_device_count=8",
+               JAX_PLATFORMS="cpu")
+    res = subprocess.run([sys.executable, "-c", code], env=env,
+                         capture_output=True, text=True, timeout=1200)
+    assert "compiled-ok" in res.stdout, res.stderr[-2000:]
+    assert "Involuntary full rematerialization" not in res.stderr, \
+        [l for l in res.stderr.splitlines() if "Involuntary" in l][:2]

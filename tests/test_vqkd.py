@@ -241,3 +241,157 @@ def test_pretrain_model_vqkd_mim_branch():
         model.apply({"params": params}, **batch, ret_mim=True,
                     deterministic=True,
                     rngs={"hardneg": jax.random.PRNGKey(1)})
+
+
+def test_import_openai_clip_teacher():
+    """OpenAI-CLIP checkpoint naming → CLIPTeacher params; forward runs and
+    every mapped weight lands (reference models/vqkd_teacher/clip/clip.py:93)."""
+    from xfm_tpu.models.clip_vit import ClipVisionConfig
+    from xfm_tpu.models.teachers import CLIPTeacher
+    from xfm_tpu.train.checkpoint import (import_clip_teacher, merge_params,
+                                          to_jax)
+
+    r = np.random.RandomState(0)
+    D, I, G, P = 32, 128, (32 // 16) ** 2, 16
+    cfg = ClipVisionConfig(image_res=32, patch_size=16, hidden_size=D,
+                           num_hidden_layers=1, num_attention_heads=2,
+                           intermediate_size=I)
+
+    def lin(dout, din):
+        return {"weight": r.randn(dout, din).astype(np.float32) * 0.02,
+                "bias": np.zeros(dout, np.float32)}
+
+    sd = {"visual.class_embedding": r.randn(D).astype(np.float32) * 0.02,
+          "visual.positional_embedding":
+              r.randn(G + 1, D).astype(np.float32) * 0.02,
+          "visual.conv1.weight": r.randn(D, 3, P, P).astype(np.float32) * 0.02,
+          "visual.proj": r.randn(D, 12).astype(np.float32) * 0.02}
+    for nm in ("ln_pre", "ln_post"):
+        sd[f"visual.{nm}.weight"] = np.ones(D, np.float32)
+        sd[f"visual.{nm}.bias"] = np.zeros(D, np.float32)
+    b = "visual.transformer.resblocks.0"
+    for nm in ("ln_1", "ln_2"):
+        sd[f"{b}.{nm}.weight"] = np.ones(D, np.float32)
+        sd[f"{b}.{nm}.bias"] = np.zeros(D, np.float32)
+    sd[f"{b}.attn.in_proj_weight"] = r.randn(3 * D, D).astype(np.float32) * 0.02
+    sd[f"{b}.attn.in_proj_bias"] = r.randn(3 * D).astype(np.float32) * 0.02
+    for k, v in lin(D, D).items():
+        sd[f"{b}.attn.out_proj.{k}"] = v
+    for k, v in lin(I, D).items():
+        sd[f"{b}.mlp.c_fc.{k}"] = v
+    for k, v in lin(D, I).items():
+        sd[f"{b}.mlp.c_proj.{k}"] = v
+
+    teacher = CLIPTeacher(config=cfg, proj_dim=12)
+    imgs = jnp.zeros((2, 32, 32, 3))
+    init = teacher.init(jax.random.PRNGKey(0), imgs)["params"]
+    imported = to_jax(import_clip_teacher(sd, cfg))
+    params, missing, unexpected = merge_params(init, imported)
+    assert not missing, missing
+    assert not unexpected, unexpected
+    out = teacher.apply({"params": params}, jax.random.normal(
+        jax.random.PRNGKey(1), (2, 32, 32, 3)))
+    assert out.shape == (2, G, 12)
+    assert np.isfinite(np.asarray(out)).all()
+
+
+def test_import_dino_teacher_kbias_equivalence():
+    """DINO importer: forward runs; dropping the fused k-bias is exact
+    (softmax shift-invariance) — outputs match a manual attention with the
+    k-bias included."""
+    from xfm_tpu.models.teachers import DINOTeacher, dino_vit_base
+    from xfm_tpu.train.checkpoint import (import_dino_teacher, merge_params,
+                                          to_jax)
+
+    r = np.random.RandomState(1)
+    D, I, G, P = 32, 128, (32 // 16) ** 2, 16
+    cfg = dataclasses.replace(dino_vit_base(image_res=32), embed_dim=D,
+                              depth=1, num_heads=2)
+
+    def lin(dout, din):
+        return {"weight": r.randn(dout, din).astype(np.float32) * 0.02,
+                "bias": r.randn(dout).astype(np.float32) * 0.02}
+
+    sd = {"cls_token": r.randn(1, 1, D).astype(np.float32) * 0.02,
+          "pos_embed": r.randn(1, G + 1, D).astype(np.float32) * 0.02,
+          "patch_embed.proj.weight": r.randn(D, 3, P, P).astype(np.float32) * 0.02,
+          "patch_embed.proj.bias": np.zeros(D, np.float32),
+          "norm.weight": np.ones(D, np.float32),
+          "norm.bias": np.zeros(D, np.float32)}
+    b = "blocks.0"
+    for nm in ("norm1", "norm2"):
+        sd[f"{b}.{nm}.weight"] = np.ones(D, np.float32)
+        sd[f"{b}.{nm}.bias"] = np.zeros(D, np.float32)
+    sd[f"{b}.attn.qkv.weight"] = r.randn(3 * D, D).astype(np.float32) * 0.02
+    sd[f"{b}.attn.qkv.bias"] = r.randn(3 * D).astype(np.float32) * 0.02
+    for k, v in lin(D, D).items():
+        sd[f"{b}.attn.proj.{k}"] = v
+    for k, v in lin(I, D).items():
+        sd[f"{b}.mlp.fc1.{k}"] = v
+    for k, v in lin(D, I).items():
+        sd[f"{b}.mlp.fc2.{k}"] = v
+
+    teacher = DINOTeacher(image_res=32)
+    # DINOTeacher builds a full-size tower by default; patch a tiny one
+    import flax.linen as fnn
+
+    from xfm_tpu.models.beit2 import BeitVisionTransformer
+
+    class TinyDINO(fnn.Module):
+        @fnn.compact
+        def __call__(self, images, deterministic=True):
+            tower = BeitVisionTransformer(cfg, name="backbone")
+            return tower(images, deterministic=deterministic)[:, 1:, :]
+
+    teacher = TinyDINO()
+    imgs = jax.random.normal(jax.random.PRNGKey(2), (2, 32, 32, 3))
+    init = teacher.init(jax.random.PRNGKey(0), jnp.zeros_like(imgs))["params"]
+    imported = to_jax(import_dino_teacher(sd, cfg))
+    params, missing, _ = merge_params(init, imported)
+    assert not [m for m in missing if "mask_token" not in m], missing
+    out = np.asarray(teacher.apply({"params": params}, imgs))
+    assert out.shape == (2, G, D)
+
+    # manual reference with FULL qkv bias (incl. k) — must match exactly
+    def torch_like_forward(x):
+        import numpy as _np
+
+        def ln(v, w, b, eps=1e-6):
+            mu = v.mean(-1, keepdims=True)
+            var = ((v - mu) ** 2).mean(-1, keepdims=True)
+            return (v - mu) / _np.sqrt(var + eps) * w + b
+
+        B = x.shape[0]
+        # extract 16x16 patches then flatten in torch's (c,h,w) order to
+        # match conv-kernel unfolding
+        pp = x.reshape(B, 2, 16, 2, 16, 3).transpose(
+            0, 1, 3, 2, 4, 5).reshape(B, G, 16, 16, 3)
+        pp = pp.transpose(0, 1, 4, 2, 3).reshape(B, G, -1)
+        kw = sd["patch_embed.proj.weight"].reshape(D, -1).T
+        emb = pp @ kw + sd["patch_embed.proj.bias"]
+        cls = _np.broadcast_to(sd["cls_token"], (B, 1, D))
+        h = _np.concatenate([cls, emb], 1) + sd["pos_embed"]
+        hn = ln(h, sd[f"{b}.norm1.weight"], sd[f"{b}.norm1.bias"])
+        qkv = hn @ sd[f"{b}.attn.qkv.weight"].T + sd[f"{b}.attn.qkv.bias"]
+        q, k, v = _np.split(qkv, 3, axis=-1)
+        H, Dh = 2, D // 2
+        def heads(t):
+            return t.reshape(B, G + 1, H, Dh).transpose(0, 2, 1, 3)
+        q, k, v = heads(q), heads(k), heads(v)
+        s = q @ k.transpose(0, 1, 3, 2) / _np.sqrt(Dh)
+        s = s - s.max(-1, keepdims=True)
+        p = _np.exp(s); p /= p.sum(-1, keepdims=True)
+        ctx = (p @ v).transpose(0, 2, 1, 3).reshape(B, G + 1, D)
+        attn_out = ctx @ sd[f"{b}.attn.proj.weight"].T + sd[f"{b}.attn.proj.bias"]
+        h = h + attn_out
+        hn = ln(h, sd[f"{b}.norm2.weight"], sd[f"{b}.norm2.bias"])
+        m = hn @ sd[f"{b}.mlp.fc1.weight"].T + sd[f"{b}.mlp.fc1.bias"]
+        from scipy import special as _sp
+        m = m * 0.5 * (1 + _sp.erf(m / _np.sqrt(2)))
+        m = m @ sd[f"{b}.mlp.fc2.weight"].T + sd[f"{b}.mlp.fc2.bias"]
+        h = h + m
+        h = ln(h, sd["norm.weight"], sd["norm.bias"])
+        return h[:, 1:, :]
+
+    ref = torch_like_forward(np.asarray(imgs))
+    np.testing.assert_allclose(out, ref, atol=2e-5, rtol=1e-4)

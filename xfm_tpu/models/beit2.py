@@ -321,16 +321,20 @@ class BeitVisionTransformer(nn.Module):
         """
         from ..core.mesh import constrain_batch_sharding
 
-        # keep every seam of the 2B concat batch-sharded — without the
-        # constraints GSPMD re-lays the batch axis across the concat and XLA
-        # inserts involuntary full rematerializations (MULTICHIP_r01 warning)
-        x = constrain_batch_sharding(self._patch_tokens(images))
-        masked = constrain_batch_sharding(self._apply_mim_mask(x, mask))
-        x2 = constrain_batch_sharding(
-            jnp.concatenate([x, masked], axis=0))
+        # Interleave (stack on a NEW axis + local reshape) instead of
+        # concatenating along the batch axis: a concat along a fully
+        # batch-sharded dim makes GSPMD replicate-then-repartition the
+        # inputs ("involuntary full rematerialization", MULTICHIP_r01) —
+        # the interleaved layout keeps each device's (full_i, masked_i)
+        # pair local, so the reshape is free.
+        x = self._patch_tokens(images)
+        masked = self._apply_mim_mask(x, mask)
+        B, N, C = x.shape
+        x2 = jnp.stack([x, masked], axis=1).reshape(B * 2, N, C)
+        x2 = constrain_batch_sharding(x2)
         full, _ = self._encode(self._add_cls(x2), deterministic)
-        B = images.shape[0]
-        return full[:B], full[B:]
+        y = full.reshape(B, 2, *full.shape[1:])
+        return y[:, 0], y[:, 1]
 
     def _shared_rpb(self, n_tokens):
         c = self.config

@@ -365,12 +365,18 @@ class XFMBase(nn.Module):
     def get_matching_loss(self, rng, image_embeds, image_atts, image_feat,
                           text_ids, text_atts, text_feat, idx=None,
                           text_embeds=None, is_pretrain=True,
-                          deterministic=True, return_cross_embeds=False):
+                          deterministic=True, return_cross_embeds=False,
+                          fixed_negatives=None):
         """ITM with in-batch hard negatives (reference models/xfm.py:749-802).
         1 positive + 2 negative fusion passes, batched as in the reference
-        (pos alone; [text_pos×image_neg ‖ text_neg×image_pos] together)."""
-        image_neg, text_neg = losses.hard_negative_indices(
-            rng, image_feat, text_feat, self.clamped_temp(), idx=idx)
+        (pos alone; [text_pos×image_neg ‖ text_neg×image_pos] together).
+        `fixed_negatives=(image_neg, text_neg)` bypasses sampling — used by
+        golden-parity tests to replay the reference's sampled indices."""
+        if fixed_negatives is not None:
+            image_neg, text_neg = fixed_negatives
+        else:
+            image_neg, text_neg = losses.hard_negative_indices(
+                rng, image_feat, text_feat, self.clamped_temp(), idx=idx)
 
         B = text_ids.shape[0]
         txt_ids_neg = jnp.take(text_ids, text_neg, axis=0)

@@ -306,6 +306,95 @@ def import_clip_vit(sd: Dict[str, np.ndarray], config) -> Dict[str, Any]:
     return p
 
 
+def import_openai_clip_visual(sd: Dict[str, np.ndarray],
+                              config) -> Dict[str, Any]:
+    """OpenAI-CLIP checkpoint naming (reference models/vqkd_teacher/clip/
+    model.py VisionTransformer: conv1 / ln_pre / transformer.resblocks.N /
+    ln_post / proj, fused attn.in_proj) → ClipVisionTransformer tree.
+    `sd` rooted at 'visual.'."""
+    from ..ops.patch_embed import patchify_kernel_from_conv
+
+    pos = sd["positional_embedding"]
+    if pos.shape[0] - 1 != config.num_patches:
+        pos = interpolate_abs_pos_embed(pos[None], config.num_patches)[0]
+    p: Dict[str, Any] = {
+        "class_embedding": sd["class_embedding"].reshape(-1),
+        "patch_embed_kernel": np.asarray(
+            patchify_kernel_from_conv(jnp.asarray(sd["conv1.weight"]))),
+        "position_embedding": pos,
+        "pre_layrnorm": _ln(sd, "ln_pre"),
+        "post_layernorm": _ln(sd, "ln_post"),
+    }
+    C = config.hidden_size
+    for i in range(config.num_hidden_layers):
+        b = f"transformer.resblocks.{i}"
+        w = sd[f"{b}.attn.in_proj_weight"]   # [3C, C] fused qkv
+        bias = sd[f"{b}.attn.in_proj_bias"]  # [3C]
+        p[f"layer_{i}"] = {
+            "layer_norm1": _ln(sd, f"{b}.ln_1"),
+            "layer_norm2": _ln(sd, f"{b}.ln_2"),
+            "q_proj": {"kernel": w[:C].T, "bias": bias[:C]},
+            "k_proj": {"kernel": w[C:2 * C].T, "bias": bias[C:2 * C]},
+            "v_proj": {"kernel": w[2 * C:].T, "bias": bias[2 * C:]},
+            "out_proj": _dense(sd, f"{b}.attn.out_proj"),
+            "fc1": _dense(sd, f"{b}.mlp.c_fc"),
+            "fc2": _dense(sd, f"{b}.mlp.c_proj"),
+        }
+    return p
+
+
+def import_clip_teacher(sd: Dict[str, np.ndarray],
+                        clip_config) -> Dict[str, Any]:
+    """Released OpenAI CLIP checkpoint → models.teachers.CLIPTeacher params
+    (visual tower + visual.proj; reference models/vqkd_teacher/clip/clip.py:93
+    load path — the text tower is dropped, only encode_image matters for
+    VQ-KD regression targets)."""
+    vis = strip_prefix(sd, "visual.")
+    return {"visual": import_openai_clip_visual(vis, clip_config),
+            "proj": vis["proj"]}
+
+
+def import_dino_teacher(sd: Dict[str, np.ndarray],
+                        config) -> Dict[str, Any]:
+    """DINO ViT-B/16 checkpoint (timm ViT naming, reference
+    models/vqkd_teacher/dino.py:299 hub weights) →
+    models.teachers.DINOTeacher params. The fused qkv bias is split into our
+    q_bias/v_bias; the k-bias is dropped — exactly equivalent, since a
+    constant added to every key shifts each query's scores uniformly and
+    softmax is shift-invariant."""
+    if any(k.startswith("module.") for k in sd):
+        sd = strip_prefix(sd, "module.")
+    from ..ops.patch_embed import patchify_kernel_from_conv
+
+    p: Dict[str, Any] = {
+        "patch_embed_kernel": np.asarray(patchify_kernel_from_conv(
+            jnp.asarray(sd["patch_embed.proj.weight"]))),
+        "patch_embed_bias": sd["patch_embed.proj.bias"],
+        "cls_token": sd["cls_token"],
+        "pos_embed": interpolate_abs_pos_embed(sd["pos_embed"],
+                                               config.num_patches),
+    }
+    C = config.embed_dim
+    for i in range(config.depth):
+        b = f"blocks.{i}"
+        bias = sd[f"{b}.attn.qkv.bias"]
+        p[f"block_{i}"] = {
+            "norm1": _ln(sd, f"{b}.norm1"),
+            "norm2": _ln(sd, f"{b}.norm2"),
+            "fc1": _dense(sd, f"{b}.mlp.fc1"),
+            "fc2": _dense(sd, f"{b}.mlp.fc2"),
+            "attn": {
+                "qkv": {"kernel": sd[f"{b}.attn.qkv.weight"].T},
+                "q_bias": bias[:C],
+                "v_bias": bias[2 * C:],
+                "proj": _dense(sd, f"{b}.attn.proj"),
+            },
+        }
+    if "norm.weight" in sd:
+        p["final_norm"] = _ln(sd, "norm")
+    return {"backbone": p}
+
+
 # ---------------------------------------------------------------------------
 # Swin import (Microsoft Swin naming; reference models/xfm.py:173-205)
 
