@@ -96,6 +96,23 @@ def test_pretrain_dispatch_steps_scan(tmp_path):
 
 
 @pytest.mark.slow
+def test_pretrain_native_device_randaug(tmp_path):
+    """`num_workers` > 0 routes the image stream through the C++ loader with
+    RandAugment deferred to device (data/device_aug.randaugment_batch inside
+    the jitted step): batches arrive uint8 un-augmented, training still
+    converges to finite losses."""
+    from xfm_tpu import native
+
+    if not native.available():
+        pytest.skip("native loader unavailable")
+    stats = _run(tmp_path, dict(
+        images={"image_key": "binary", "is_image_rpath": False,
+                "caption_key": "desc", "batch_size": 8, "num_workers": 2}))
+    assert stats.get("image_loss_itc", 0) > 0
+    assert np.isfinite(stats.get("loss", np.inf))
+
+
+@pytest.mark.slow
 def test_pretrain_vqkd_tokenizer_mim(tmp_path):
     """`use_vision_tokenizer: true` end-to-end: the pretrain task builds the
     frozen VQ-KD tokenizer, computes code ids per image batch, and MIM takes

@@ -152,7 +152,15 @@ class ImageTextStream:
             from .transforms import NativeBatchTransform
 
             self.native_batch = NativeBatchTransform.maybe_build(
-                transform, workers)
+                transform, workers,
+                device_randaug=sub.get("device_randaug", True))
+
+    @property
+    def device_randaug_active(self) -> bool:
+        """True when batches are un-augmented uint8 and the train step must
+        apply device_aug.randaugment_batch."""
+        return bool(self.native_batch is not None
+                    and self.native_batch.device_randaug)
 
     def _blob(self, ann) -> bytes:
         """Raw encoded image bytes for the native decode path."""
@@ -486,7 +494,13 @@ class ImageStream:
             from .transforms import NativeBatchTransform
 
             self.native_batch = NativeBatchTransform.maybe_build(
-                transform, workers)
+                transform, workers,
+                device_randaug=sub.get("device_randaug", True))
+
+    @property
+    def device_randaug_active(self) -> bool:
+        return bool(self.native_batch is not None
+                    and self.native_batch.device_randaug)
 
     def _blob(self, ann) -> bytes:
         v = ann[self.image_key]

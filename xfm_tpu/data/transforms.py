@@ -117,7 +117,7 @@ class NativeBatchTransform:
     bilinear vs PIL bicubic) — pinned by tests/test_data.py."""
 
     def __init__(self, train_transform: "TrainTransform", workers: int = 8,
-                 emit_uint8: bool = True):
+                 emit_uint8: bool = True, device_randaug: bool = False):
         from concurrent.futures import ThreadPoolExecutor
 
         from .. import native
@@ -134,9 +134,15 @@ class NativeBatchTransform:
         # (models get_vision_embeds → device_aug.maybe_normalize) — saves
         # host float math and 4x of host→device transfer.
         self.emit_uint8 = emit_uint8
+        # device_randaug: emit un-augmented uint8; the train step applies
+        # data/device_aug.randaugment_batch under jit (host keeps only
+        # decode+crop+resize — the 1-core-host bottleneck fix, PERF.md).
+        self.device_randaug = device_randaug and train_transform.randaug \
+            is not None
 
     @classmethod
-    def maybe_build(cls, train_transform, workers: int):
+    def maybe_build(cls, train_transform, workers: int,
+                    device_randaug: bool = False):
         """→ instance, or None when the native loader is unavailable or
         disabled (XFM_NATIVE_LOADER=0) or workers <= 0."""
         import os
@@ -147,7 +153,7 @@ class NativeBatchTransform:
             return None
         if not native.available():
             return None
-        return cls(train_transform, workers)
+        return cls(train_transform, workers, device_randaug=device_randaug)
 
     def probe(self, blob: bytes):
         """(w, h) via header parse, or None for undecodable data — the
@@ -169,7 +175,7 @@ class NativeBatchTransform:
             return None
         for j, i in enumerate(np.flatnonzero(status != 0)):
             u8[i] = u8[good[j % good.size]]  # substitute, keep batch static
-        if self.randaug is None:
+        if self.randaug is None or self.device_randaug:
             return u8 if self.emit_uint8 else normalize(u8)
         plans = [self.randaug.plan(self.rng) for _ in range(n)]
 

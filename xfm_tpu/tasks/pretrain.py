@@ -206,13 +206,27 @@ def main(args, config: Optional[dict] = None):
         return (make_train_step(loss_fn) if K == 1
                 else make_multi_train_step(loss_fn, K))
 
+    # Streams that emit un-augmented uint8 (native decode + device RandAugment
+    # split; data/device_aug.py): the jitted step applies the batched op
+    # rounds on device, where they fuse into the input normalize.
+    aug_streams = {name for name, s in streams.items()
+                   if getattr(s, "device_randaug_active", False)}
+
     def make_step(flags_by_stream):
         def loss_fn(params, batches, rng):
+            from ..data.device_aug import randaugment_batch
+
             total = 0.0
             aux = {}
             for i, (name, batch) in enumerate(sorted(batches.items())):
                 flags = flags_by_stream[name]
                 extra = {}
+                if (name in aug_streams and batch.get("images") is not None
+                        and jnp.issubdtype(batch["images"].dtype,
+                                           jnp.integer)):
+                    batch = dict(batch)
+                    batch["images"] = randaugment_batch(
+                        jax.random.fold_in(rng, 1000 + i), batch["images"])
                 if (code_ids_fn is not None and flags.get("ret_mim")
                         and batch.get("images") is not None):
                     # frozen-tokenizer code ids of the unmasked images
