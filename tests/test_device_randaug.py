@@ -76,6 +76,20 @@ def test_geometric_matches_pil(img, name, sign):
         assert d.max() == 0.0
 
 
+@pytest.mark.parametrize("name", ["ShearX", "ShearY", "TranslateX",
+                                  "TranslateY", "Rotate"])
+def test_negative_sign_flip_conjugation(img, name):
+    """The batch path realizes warp(-s) as flip . warp(+s) . flip (shared
+    warp matrix across the batch → fast gather); exact for PIL's
+    pixel-center / fill / border-clamp conventions."""
+    ax = 0 if name in ("ShearY", "TranslateY") else 1
+    im = jnp.asarray(img, jnp.float32)
+    direct = da._geo_branch(name, 7, 64, 64)(im, jnp.float32(-1.0))
+    conj = jnp.flip(da._geo_branch(name, 7, 64, 64)(jnp.flip(im, ax),
+                                                    jnp.float32(1.0)), ax)
+    assert np.abs(np.asarray(direct) - np.asarray(conj)).max() <= 1e-3
+
+
 def test_randaugment_batch_identity_and_determinism(img):
     batch = jnp.asarray(np.stack([img] * 3))
     ident = da.randaugment_batch(jax.random.PRNGKey(0), batch,
@@ -157,7 +171,8 @@ def test_pretrain_stream_flags_device_randaug(tmp_path):
             f.write(json.dumps({
                 "binary": base64.b64encode(buf.getvalue()).decode(),
                 "desc": "a tiny test image"}) + "\n")
-    cfg = dict(images={"batch_size": 4, "num_workers": 2},
+    cfg = dict(images={"batch_size": 4, "num_workers": 2,
+                       "device_randaug": True},
                image_res=32, patch_size=16, max_words=10, max_tokens=12,
                max_masks=3, mask_prob=0.5, skipgram_prb=0.2, skipgram_size=3,
                mask_whole_word=False, num_masking_patches=2,
@@ -168,8 +183,8 @@ def test_pretrain_stream_flags_device_randaug(tmp_path):
     batch = next(iter(on))
     assert batch["images"].dtype == np.uint8
 
-    cfg_off = dict(images={"batch_size": 4, "num_workers": 2,
-                           "device_randaug": False},
+    # default: host randaug (device aug costs serial step time — PERF.md)
+    cfg_off = dict(images={"batch_size": 4, "num_workers": 2},
                    image_res=32, patch_size=16)
     off = ImageTextStream([str(path)], cfg_off, tok, TrainTransform(32), 0, 1)
     assert not off.device_randaug_active

@@ -107,7 +107,8 @@ def test_pretrain_native_device_randaug(tmp_path):
         pytest.skip("native loader unavailable")
     stats = _run(tmp_path, dict(
         images={"image_key": "binary", "is_image_rpath": False,
-                "caption_key": "desc", "batch_size": 8, "num_workers": 2}))
+                "caption_key": "desc", "batch_size": 8, "num_workers": 2,
+                "device_randaug": True}))
     assert stats.get("image_loss_itc", 0) > 0
     assert np.isfinite(stats.get("loss", np.inf))
 

@@ -57,26 +57,30 @@ def maybe_normalize(images):
 
 # ---------------------------------------------------------------------------
 # On-device RandAugment (matches data/randaugment.py's PIL semantics; pinned
-# by tests/test_device_randaug.py). Host keeps only JPEG decode + crop/resize
-# (the C++ loader); the N=2 op rounds run batched under jit where they fuse
-# into the input step — this removes ~190 ms/48-batch of host PIL work
-# (PERF.md round-2 input-pipeline section), which matters because pod hosts
-# feed many chips and the dev host here has one core.
+# by tests/test_device_randaug.py). OPT-IN (`device_randaug: true` on a
+# stream with the native loader): host keeps only JPEG decode + crop/resize
+# and the N=2 op rounds run batched under jit.
+#
+# Measured tradeoff (PERF.md round-2 input-pipeline section): this costs
+# ~137 ms/48-batch of SERIAL device time inside the train step (was 1064 ms
+# as a naive per-image vmap(lax.switch)), while host RandAugment costs
+# ~56 ms/48-batch of thread-pool time that the prefetcher overlaps with the
+# step — so the device path only wins on host-starved pods (many chips per
+# host core). Kernel-shape notes: each round computes
+# every photometric op once batch-wide and selects per image; geometric ops
+# use batch-SHARED warp matrices (XLA lowers batch-identical gather indices
+# ~15x faster than per-image ones) with negative signs realized by flip
+# conjugation; the Equalize histogram/LUT is one-hot compare + exact bf16
+# matmul (vmapped 50k-element sorts were the dominant cost of the naive
+# version).
 # ---------------------------------------------------------------------------
 
 RANDAUG_DEFAULT = ("Identity", "AutoContrast", "Equalize", "Brightness",
                    "Sharpness", "ShearX", "ShearY", "TranslateX",
                    "TranslateY", "Rotate")
+_GEO_OPS = ("ShearX", "ShearY", "TranslateX", "TranslateY", "Rotate")
 _FILL = 128.0  # PIL fillcolor=(128,128,128) for geometric ops
 _MAX_LEVEL = 10
-
-
-def _hist256(vals):
-    """[P] int32 in [0,256) → [256] counts, sort-based (TPU-friendly: no
-    scatter)."""
-    s = jnp.sort(vals)
-    idx = jnp.searchsorted(s, jnp.arange(257))
-    return jnp.diff(idx)
 
 
 def _autocontrast(img):
@@ -89,24 +93,31 @@ def _autocontrast(img):
     return jnp.where(hi > lo, out, img)
 
 
-def _equalize_channel(ch_i32):
-    """[P] int32 → equalized values, PIL ImageOps.equalize LUT math:
-    lut[i] = (step//2 + cumsum(h)[:i]) // step, step=(total-last_nz)//255."""
-    h = _hist256(ch_i32)
-    nz = h > 0
-    last_nz = h[255 - jnp.argmax(nz[::-1])]
-    step = (ch_i32.size - last_nz) // 255
-    csum = jnp.cumsum(h) - h  # exclusive prefix sum
-    lut = jnp.clip((step // 2 + csum) // jnp.maximum(step, 1), 0, 255)
-    ident = jnp.arange(256)
-    lut = jnp.where((step == 0) | (nz.sum() <= 1), ident, lut)
-    return lut[ch_i32]
-
-
 def _equalize(img):
-    flat = img.astype(jnp.int32).reshape(-1, 3).T  # [3, P]
-    out = jax.vmap(_equalize_channel)(flat)
-    return out.T.reshape(img.shape).astype(jnp.float32)
+    """PIL ImageOps.equalize LUT math per channel:
+    lut[i] = (step//2 + cumsum(h)[:i]) // step, step=(total-last_nz)//255.
+
+    One-hot formulation throughout: the [P,256] compare feeds both the
+    histogram reduce and (as an exact bf16 matmul — one-hots and ints <256
+    are bf16-exact) the LUT application, so no gather/scatter/sort appears.
+    """
+    P = img.shape[0] * img.shape[1]
+    flat = img.astype(jnp.int32).reshape(P, 3)
+    oh = flat[:, :, None] == jnp.arange(256, dtype=jnp.int32)  # [P,3,256]
+    h = oh.sum(0)                                              # [3,256]
+    nz = h > 0
+    last_nz = jnp.take_along_axis(
+        h, 255 - jnp.argmax(nz[:, ::-1], axis=1)[:, None], axis=1)[:, 0]
+    step = (P - last_nz) // 255                                # [3]
+    csum = jnp.cumsum(h, axis=1) - h  # exclusive prefix sum
+    lut = jnp.clip((step[:, None] // 2 + csum)
+                   // jnp.maximum(step[:, None], 1), 0, 255)
+    ident = jnp.arange(256)[None, :]
+    degenerate = (step == 0) | (nz.sum(axis=1) <= 1)
+    lut = jnp.where(degenerate[:, None], ident, lut)
+    out = jnp.einsum("pck,ck->pc", oh.astype(jnp.bfloat16),
+                     lut.astype(jnp.bfloat16))
+    return out.reshape(img.shape).astype(jnp.float32)
 
 
 def _brightness(img, factor):
@@ -166,73 +177,93 @@ def _affine_sample(img, mat):
     return jnp.where(valid[..., None], out, _FILL)
 
 
-def _geo_branch(name, m, H, W):
-    """→ fn(img, sign) applying the named geometric op at magnitude m via one
-    inverse-affine warp (magnitude maps per data/randaugment.py)."""
+def _geo_mat(name, m, H, W, sign):
+    """Inverse-affine 6-vector for the named geometric op at magnitude m
+    (magnitude maps per data/randaugment.py). `sign` may be a scalar or a
+    [B] array — the matrix broadcasts to [..., 6]."""
     shear = (m / _MAX_LEVEL) * 0.3
     rot = (m / _MAX_LEVEL) * 30.0
+    one = jnp.ones_like(sign)
+    zero = jnp.zeros_like(sign)
+    if name == "ShearX":
+        mat = [one, sign * shear, zero, zero, one, zero]
+    elif name == "ShearY":
+        mat = [one, zero, zero, sign * shear, one, zero]
+    elif name == "TranslateX":
+        t = float(int((m / _MAX_LEVEL) * (W // 3)))
+        mat = [one, zero, sign * t, zero, one, zero]
+    elif name == "TranslateY":
+        t = float(int((m / _MAX_LEVEL) * (H // 3)))
+        mat = [one, zero, zero, zero, one, sign * t]
+    elif name == "Rotate":
+        # PIL Image.rotate(angle): inverse matrix built from -radians
+        th = -jnp.deg2rad(sign * rot)
+        a, b = jnp.cos(th), jnp.sin(th)
+        cx, cy = W / 2.0, H / 2.0
+        c = cx - (a * cx + b * cy)
+        f = cy - (-b * cx + a * cy)
+        mat = [a, b, c, -b, a, f]
+    else:  # pragma: no cover
+        raise ValueError(name)
+    return jnp.stack([jnp.asarray(v, jnp.float32) for v in mat], -1)
 
-    def mat_fn(img, sign):
-        one = jnp.float32(1.0)
-        zero = jnp.float32(0.0)
-        if name == "ShearX":
-            mat = jnp.stack([one, sign * shear, zero, zero, one, zero])
-        elif name == "ShearY":
-            mat = jnp.stack([one, zero, zero, sign * shear, one, zero])
-        elif name == "TranslateX":
-            t = jnp.float32(int((m / _MAX_LEVEL) * (W // 3)))
-            mat = jnp.stack([one, zero, sign * t, zero, one, zero])
-        elif name == "TranslateY":
-            t = jnp.float32(int((m / _MAX_LEVEL) * (H // 3)))
-            mat = jnp.stack([one, zero, zero, zero, one, sign * t])
-        elif name == "Rotate":
-            # PIL Image.rotate(angle): inverse matrix built from -radians
-            th = -jnp.deg2rad(sign * rot)
-            a, b = jnp.cos(th), jnp.sin(th)
-            cx, cy = W / 2.0, H / 2.0
-            c = cx - (a * cx + b * cy)
-            f = cy - (-b * cx + a * cy)
-            mat = jnp.stack([a, b, c, -b, a, f])
+
+def _geo_branch(name, m, H, W):
+    """→ fn(img, sign) applying the named geometric op via one warp (the
+    single-image form; the batch path goes through _randaug_round)."""
+    return lambda img, sign: _affine_sample(img, _geo_mat(name, m, H, W,
+                                                          jnp.float32(sign)))
+
+
+def _randaug_round(rng, imgs, augs, m):
+    """One RandAugment round on the whole batch: per-image op draw (uniform
+    over `augs`), applied with prob 0.5, sign ±0.5/0.5 — the plan() contract
+    of data/randaugment.py.
+
+    Every op runs once batch-wide and is selected per image. Geometric ops
+    each use ONE warp with a batch-SHARED (+sign) matrix — XLA lowers a
+    gather with batch-identical indices ~15x faster than one with per-image
+    indices (5.8 vs 85 ms/48-batch measured) — and realize the negative
+    sign by flip conjugation: warp(-s) = flip . warp(+s) . flip, exact for
+    PIL's pixel-center/fill/border conventions (pinned by
+    tests/test_device_randaug.py::test_negative_sign_flip_conjugation)."""
+    B, H, W = imgs.shape[0], imgs.shape[1], imgs.shape[2]
+    r_op, r_skip, r_sign = jax.random.split(rng, 3)
+    op = jax.random.randint(r_op, (B,), 0, len(augs))
+    applied = jax.random.uniform(r_skip, (B,)) <= 0.5
+    neg = jax.random.uniform(r_sign, (B,)) < 0.5
+    enh = (m / _MAX_LEVEL) * 1.8 + 0.1
+
+    def sel(k):
+        return (applied & (op == k))[:, None, None, None]
+
+    out = imgs
+    for k, name in enumerate(augs):
+        if name == "Identity":
+            continue
+        elif name == "AutoContrast":
+            out = jnp.where(sel(k), jax.vmap(_autocontrast)(imgs), out)
+        elif name == "Equalize":
+            out = jnp.where(sel(k), jax.vmap(_equalize)(imgs), out)
+        elif name == "Brightness":
+            out = jnp.where(sel(k), _brightness(imgs, enh), out)
+        elif name == "Sharpness":
+            out = jnp.where(sel(k), jax.vmap(
+                lambda im: _sharpness(im, enh))(imgs), out)
+        elif name in _GEO_OPS:
+            # flip axis: x-reflection for x-shift ops and rotation,
+            # y-reflection for y-shift ops
+            ax = 1 if name in ("ShearY", "TranslateY") else 2
+            flip = neg[:, None, None, None]
+            inp = jnp.where(flip, jnp.flip(imgs, axis=ax), imgs)
+            mat = _geo_mat(name, m, H, W, jnp.float32(1.0))
+            warped = jax.vmap(_affine_sample, in_axes=(0, None))(inp, mat)
+            warped = jnp.where(flip, jnp.flip(warped, axis=ax), warped)
+            out = jnp.where(sel(k), warped, out)
         else:  # pragma: no cover
             raise ValueError(name)
-        return _affine_sample(img, mat)
-
-    return mat_fn
-
-
-def _randaug_branches(augs, m, H, W):
-    enh = (m / _MAX_LEVEL) * 1.8 + 0.1
-    out = []
-    for name in augs:
-        if name == "Identity":
-            out.append(lambda im, s: im)
-        elif name == "AutoContrast":
-            out.append(lambda im, s: _autocontrast(im))
-        elif name == "Equalize":
-            out.append(lambda im, s: _equalize(im))
-        elif name == "Brightness":
-            out.append(lambda im, s, f=enh: _brightness(im, f))
-        elif name == "Sharpness":
-            out.append(lambda im, s, f=enh: _sharpness(im, f))
-        else:
-            out.append(_geo_branch(name, m, H, W))
-    return out
-
-
-def _randaug_one(rng, img, augs, n, m):
-    """f32 [H,W,3] in [0,255] → same, after N sampled op rounds (each op
-    applied with prob 0.5, sign ±0.5/0.5 — data/randaugment.py plan())."""
-    H, W = img.shape[0], img.shape[1]
-    branches = _randaug_branches(augs, m, H, W)
-    for _ in range(n):
-        rng, r_op, r_skip, r_sign = jax.random.split(rng, 4)
-        op = jax.random.randint(r_op, (), 0, len(augs))
-        apply = jax.random.uniform(r_skip) <= 0.5
-        sign = jnp.where(jax.random.uniform(r_sign) < 0.5, -1.0, 1.0)
-        out = jax.lax.switch(op, branches, img, sign)
-        out = jnp.round(jnp.clip(out, 0.0, 255.0))  # uint8 quantize per op
-        img = jnp.where(apply, out, img)
-    return img
+    # uint8 quantize per applied op (unselected rows are already integral)
+    return jnp.round(jnp.clip(out, 0.0, 255.0))
 
 
 @partial(jax.jit, static_argnames=("augs", "n", "m"))
@@ -242,9 +273,9 @@ def randaugment_batch(rng, images_u8, augs: tuple = RANDAUG_DEFAULT,
     device (reference dataset/randaugment.py:317-346 semantics via the PIL
     contract in data/randaugment.py)."""
     imgs = images_u8.astype(jnp.float32)
-    rngs = jax.random.split(rng, imgs.shape[0])
-    out = jax.vmap(lambda r, im: _randaug_one(r, im, augs, n, m))(rngs, imgs)
-    return out.astype(jnp.uint8)
+    for i in range(n):
+        imgs = _randaug_round(jax.random.fold_in(rng, i), imgs, augs, m)
+    return imgs.astype(jnp.uint8)
 
 
 @partial(jax.jit, static_argnames=("out_size", "scale", "ratio", "train"))

@@ -153,7 +153,7 @@ class ImageTextStream:
 
             self.native_batch = NativeBatchTransform.maybe_build(
                 transform, workers,
-                device_randaug=sub.get("device_randaug", True))
+                device_randaug=sub.get("device_randaug", False))
 
     @property
     def device_randaug_active(self) -> bool:
@@ -495,7 +495,7 @@ class ImageStream:
 
             self.native_batch = NativeBatchTransform.maybe_build(
                 transform, workers,
-                device_randaug=sub.get("device_randaug", True))
+                device_randaug=sub.get("device_randaug", False))
 
     @property
     def device_randaug_active(self) -> bool:

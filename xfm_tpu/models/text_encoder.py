@@ -36,15 +36,18 @@ from ..ops.attention import dot_product_attention, mask_to_bias, NEG_INF
 
 def gelu_exact(x):
     """erf-GELU (torch nn.GELU default — the reference's activation,
-    needed for bit-faithful parity with erf-trained checkpoints).
+    needed for parity with erf-trained checkpoints).
 
-    On the TPU VPU erf is COMPUTE-bound at ~2.75x the HBM-bandwidth floor
-    while tanh-GELU runs at the floor (measured: 1117 vs 403 us on
-    [96,197,3072] bf16; 216 -> 244.5 samples/s on the full pretrain step —
-    PERF.md). Configs choose via `hidden_act`: 'gelu' (erf) for fine-tuning
-    released weights, 'gelu_tanh' (flax's own default; the PaLM/ViT-22B
-    choice) for from-scratch TPU pretraining."""
-    return jax.nn.gelu(x, approximate=False)
+    Served by ops.activations.gelu_erf: a tanh-form minimax approximation
+    that is within 1 bf16 ulp of true erf-GELU for every finite bf16 input
+    (exhaustively tested) but runs at tanh-GELU VPU cost — XLA's erf is
+    compute-bound at ~2.75x the HBM-bandwidth floor (PERF.md).
+    XFM_EXACT_ERF=1 restores XLA's erf. Configs still choose via
+    `hidden_act`: 'gelu' (erf) for released-weight fine-tuning,
+    'gelu_tanh' (flax default; PaLM/ViT-22B) for from-scratch recipes."""
+    from ..ops.activations import gelu_erf
+
+    return gelu_erf(x)
 
 ACT = {
     "gelu": gelu_exact,
