@@ -395,3 +395,57 @@ def test_import_dino_teacher_kbias_equivalence():
 
     ref = torch_like_forward(np.asarray(imgs))
     np.testing.assert_allclose(out, ref, atol=2e-5, rtol=1e-4)
+
+
+def test_cosine_kmeans_recovers_separated_clusters():
+    """3 well-separated unit directions + small noise: cosine k-means
+    (reference norm_ema_quantizer.py kmeans use_cosine_sim=True) recovers
+    all three as means, with counts summing to n."""
+    from xfm_tpu.models.vqkd import cosine_kmeans
+
+    rng = np.random.default_rng(0)
+    dirs = np.eye(3, 8, dtype=np.float32)  # 3 orthogonal directions in R^8
+    pts = np.repeat(dirs, 40, axis=0) + 0.05 * rng.standard_normal((120, 8))
+    pts = pts[rng.permutation(120)].astype(np.float32)
+    means, bins = cosine_kmeans(jax.random.PRNGKey(0), jnp.asarray(pts), 3)
+    means, bins = np.asarray(means), np.asarray(bins)
+    assert bins.sum() == 120
+    np.testing.assert_allclose(np.linalg.norm(means, axis=-1), 1.0,
+                               atol=1e-5)
+    # every true direction is ~one recovered mean (cosine sim > 0.98)
+    sims = dirs @ means.T / np.linalg.norm(dirs, axis=-1, keepdims=True)
+    assert (sims.max(axis=1) > 0.98).all()
+
+
+def test_kmeans_init_installs_into_vqkd():
+    """kmeans_init_vq_stats output swaps into the VQKD variables and the
+    tokenizer + training step run with the data-driven codebook (the
+    reference's first-batch init_embed_ flow, norm_ema_quantizer.py:92-103)."""
+    from xfm_tpu.models.vqkd import kmeans_init_vq_stats
+
+    cfg = tiny_vqkd()
+    model = VQKD(cfg)
+    images = jax.random.normal(jax.random.PRNGKey(0), (2, 32, 32, 3))
+    teacher = jax.random.normal(jax.random.PRNGKey(1), (2, 4, 12))
+    variables = model.init(jax.random.PRNGKey(2), images, teacher)
+    z = model.apply(variables, images, method=VQKD._encode_z)
+    stats = kmeans_init_vq_stats(jax.random.PRNGKey(3), z,
+                                 cfg.codebook_size)
+    assert stats["quantize"]["codebook"].shape == (16, 8)
+    variables = {**variables, "vq_stats": stats}
+    ids = model.apply(variables, images, method=VQKD.get_codebook_indices)
+    assert int(ids.max()) < 16
+    (loss, _), _ = model.apply(variables, images, teacher,
+                               mutable=["vq_stats"])
+    assert np.isfinite(float(loss))
+
+
+def test_load_codebook_init(tmp_path):
+    import torch
+
+    from xfm_tpu.models.vqkd import load_codebook_init
+
+    w = torch.randn(16, 8)
+    torch.save(w, tmp_path / "cb.pth")
+    cb = load_codebook_init(tmp_path / "cb.pth")
+    np.testing.assert_allclose(np.asarray(cb), w.numpy(), atol=1e-6)

@@ -14,8 +14,14 @@ models/norm_ema_quantizer.py:123-204):
   folded into variables by the caller's train step; the cross-replica
   all_reduce (reference :174-194) is GSPMD-automatic because cluster_size
   sums over the (globally sharded) batch.
-- k-means init on first batch is replaced by seeded normal init (the
-  reference only hits k-means when training a tokenizer from scratch).
+- k-means init on first batch (reference norm_ema_quantizer.py:34-61,
+  92-103: zero-init + `initted` flag, cosine k-means on the first batch's
+  projections) becomes an explicit pre-training call —
+  `kmeans_init_vq_stats` returns fresh `vq_stats` from sample projections;
+  the caller installs them before step 0. Purely functional (no mutable
+  `initted` buffer inside jit), same 10-iteration cosine k-means.
+- `codebook_init_path` (reference norm_ema_quantizer.py:78-83) →
+  `load_codebook_init`, reading a torch-saved tensor.
 """
 from __future__ import annotations
 
@@ -83,6 +89,54 @@ def vqkd_config_from_yaml(config: dict) -> VQKDConfig:
         codebook_dim=config.get("codebook_dim", 32),
         teacher_dim=512 if teacher == "clip" else 768,
     )
+
+
+def cosine_kmeans(rng, samples, num_clusters, num_iters: int = 10):
+    """Cosine-similarity k-means (reference norm_ema_quantizer.py:34-61,
+    use_cosine_sim=True): means start as sampled rows, assignment by max
+    dot product, empty clusters keep their previous mean.
+    → (means [num_clusters, D] l2-normalized, bincounts [num_clusters])."""
+    samples = l2norm(samples.astype(jnp.float32))
+    n = samples.shape[0]
+    idx = (jax.random.permutation(rng, n)[:num_clusters] if n >= num_clusters
+           else jax.random.randint(rng, (num_clusters,), 0, n))
+    means0 = samples[idx]
+
+    def body(_, means):
+        buckets = jnp.argmax(samples @ means.T, axis=-1)
+        onehot = jax.nn.one_hot(buckets, num_clusters, dtype=jnp.float32)
+        bins = onehot.sum(0)
+        sums = onehot.T @ samples
+        new = l2norm(sums / jnp.maximum(bins, 1.0)[:, None])
+        return jnp.where((bins == 0)[:, None], means, new)
+
+    means = jax.lax.fori_loop(0, num_iters, body, means0)
+    bins = jax.nn.one_hot(jnp.argmax(samples @ means.T, axis=-1),
+                          num_clusters, dtype=jnp.float32).sum(0)
+    return means, bins
+
+
+def kmeans_init_vq_stats(rng, z_samples, num_codes, num_iters: int = 10):
+    """Data-driven codebook init (reference EmbeddingEMA.init_embed_,
+    norm_ema_quantizer.py:92-103): cosine k-means over the first batch's
+    projections `z_samples` [..., code_dim]. Returns a `vq_stats` collection
+    ({'quantize': {'codebook', 'cluster_size'}}) for the caller to install
+    into the VQKD variables before the first training step (the reference's
+    `initted` buffer flow, made explicit/functional for jit)."""
+    flat = z_samples.reshape(-1, z_samples.shape[-1])
+    cb, bins = cosine_kmeans(rng, flat, num_codes, num_iters)
+    return {"quantize": {"codebook": cb, "cluster_size": bins}}
+
+
+def load_codebook_init(path):
+    """`codebook_init_path` (reference norm_ema_quantizer.py:78-83): a
+    torch-saved [num_codes, code_dim] tensor → jnp array."""
+    import torch
+
+    w = torch.load(path, map_location="cpu")
+    if hasattr(w, "state_dict"):  # pragma: no cover - tensor files expected
+        raise ValueError("codebook_init_path must hold a tensor")
+    return jnp.asarray(w.detach().float().numpy())
 
 
 class NormEMAQuantizer(nn.Module):
