@@ -34,6 +34,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from ..ops.attention import dot_product_attention, remat_policy
+from ..ops.fused_ln import FusedLayerNorm
 from ..ops.patch_embed import extract_patches
 
 
@@ -203,10 +204,13 @@ class BeitBlock(nn.Module):
                                           deterministic)
         if use_ls:
             h = gamma_1.astype(h.dtype) * h
-        x = x + dp(h, deterministic)
-
-        h = nn.LayerNorm(epsilon=c.layer_norm_eps, name="norm2",
-                         dtype=c.dtype)(x)
+        # residual add + norm2 through ops/fused_ln.py (one Pallas pass
+        # under opt-in XFM_FUSED_LN=1; identical-math XLA composition by
+        # default — measured faster, see fused_ln.fused_ln_ok). LayerScale/
+        # DropPath multiplies stay outside so the fused site is plain x + y
+        x, h = FusedLayerNorm(epsilon=c.layer_norm_eps, name="norm2",
+                              dtype=c.dtype)(dp(h, deterministic),
+                                             residual=x, return_sum=True)
         h = nn.Dense(int(C * c.mlp_ratio), name="fc1", dtype=c.dtype)(h)
         from .text_encoder import ACT
 
@@ -215,8 +219,8 @@ class BeitBlock(nn.Module):
         h = nn.Dropout(c.drop_rate)(h, deterministic=deterministic)
         if use_ls:
             h = gamma_2.astype(h.dtype) * h
-        x = x + dp(h, deterministic)
-        return x
+        x = x + dp(h, deterministic)  # consumer LN is the NEXT block's
+        return x                      # norm1 (not fusable across modules)
 
 
 class BeitVisionTransformer(nn.Module):

@@ -33,6 +33,7 @@ import jax
 import jax.numpy as jnp
 
 from ..ops.attention import dot_product_attention, mask_to_bias, NEG_INF
+from ..ops.fused_ln import FusedLayerNorm
 
 def gelu_exact(x):
     """erf-GELU (torch nn.GELU default — the reference's activation,
@@ -245,8 +246,11 @@ class SelfAttention(nn.Module):
 
         out = nn.Dense(c.hidden_size, name="attn_out", dtype=c.dtype)(ctx)
         out = nn.Dropout(c.hidden_dropout_prob)(out, deterministic=deterministic)
-        out = nn.LayerNorm(epsilon=c.layer_norm_eps, name="output_LayerNorm",
-                           dtype=c.dtype)(out + hidden)
+        # post-LN residual in one fused pass (ops/fused_ln.py; param-
+        # compatible with nn.LayerNorm)
+        out = FusedLayerNorm(epsilon=c.layer_norm_eps,
+                             name="output_LayerNorm",
+                             dtype=c.dtype)(out, residual=hidden)
         return out
 
 
@@ -273,8 +277,8 @@ class TransformerLayer(nn.Module):
         h = ACT[c.hidden_act](h)
         h = nn.Dense(c.hidden_size, name="output_dense", dtype=c.dtype)(h)
         h = nn.Dropout(c.hidden_dropout_prob)(h, deterministic=deterministic)
-        x = nn.LayerNorm(epsilon=c.layer_norm_eps, name="ffn_LayerNorm",
-                         dtype=c.dtype)(h + x)
+        x = FusedLayerNorm(epsilon=c.layer_norm_eps, name="ffn_LayerNorm",
+                           dtype=c.dtype)(h, residual=x)
         return x
 
 
