@@ -190,6 +190,9 @@ class VQAData:
             with open(answer_list) as f:
                 self.answer_list = json.load(f)
 
+    def __len__(self):
+        return len(self.ann)
+
     def _image_path(self, a):
         root = self.image_roots.get(a.get("dataset", "vqa"),
                                     list(self.image_roots.values())[0])
