@@ -184,6 +184,49 @@ def test_tp_loss_matches_replicated(eight_devices, mesh_shape):
     np.testing.assert_allclose(sharded, base, rtol=3e-4, atol=3e-4)
 
 
+def test_seq_shard_loss_matches_replicated(eight_devices):
+    """Megatron-SP sequence parallelism (seq_shard=True constrains the token
+    dim over the tensor axis between blocks) must not change the math —
+    beyond-reference capability, reference is DP-only (SURVEY §2.2). The
+    5-token vision sequence shards unevenly over tp=2, exercising GSPMD's
+    padding path."""
+    import dataclasses
+
+    mesh = make_mesh(eight_devices, data=2, fsdp=1, tensor=4)
+    cfg = tiny_cfg()
+    cfg_sp = dataclasses.replace(
+        cfg, vision=dataclasses.replace(cfg.vision, seq_shard=True),
+        text=dataclasses.replace(cfg.text, seq_shard=True),
+        fusion=dataclasses.replace(cfg.fusion, seq_shard=True))
+    model = XFMForPretrain(cfg)
+    model_sp = XFMForPretrain(cfg_sp)
+    batch = make_batch()
+
+    def init_params():
+        return model.init({"params": jax.random.PRNGKey(0)},
+                          batch["images"], batch["text_ids"],
+                          batch["text_atts"],
+                          method=XFMForPretrain.init_all)["params"]
+
+    params = init_params()
+
+    def losses_det(m):
+        def f(params, batch):
+            out = m.apply({"params": params}, **batch, ret_mim=True,
+                          ret_match=False, rngs={})
+            return out["loss_itc"] + out["loss_mlm"] + out["loss_mim"]
+
+        return f
+
+    base = float(jax.jit(losses_det(model))(params, batch))
+    pshard = param_shardings(jax.eval_shape(init_params), mesh)
+    sparams = jax.tree.map(jax.device_put, params, pshard)
+    sbatch = shard_batch(mesh, batch)
+    with mesh:
+        sharded = float(jax.jit(losses_det(model_sp))(sparams, sbatch))
+    np.testing.assert_allclose(sharded, base, rtol=3e-4, atol=3e-4)
+
+
 @pytest.mark.slow
 def test_no_involuntary_remat_on_3d_mesh(tmp_path):
     """Compiling the full pretrain train step on a dp2 x fsdp2 x tp2 mesh

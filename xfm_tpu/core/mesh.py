@@ -66,14 +66,25 @@ def make_mesh(
     data: int = -1,
     fsdp: int = 1,
     tensor: int = 1,
+    pipe: int = 1,
 ) -> Mesh:
-    """Build the global mesh. `data=-1` absorbs remaining devices."""
+    """Build the global mesh. `data=-1` absorbs remaining devices.
+
+    The `pipe` axis (pipeline parallelism, core/pipeline.py) is appended
+    only when pipe > 1 so the common 3-axis specs stay valid; it is laid
+    out outermost — pipeline ppermutes are the lowest-bandwidth traffic,
+    so they get the mesh dimension farthest apart on ICI."""
     devices = list(devices if devices is not None else jax.devices())
     n = len(devices)
     if data == -1:
-        assert n % (fsdp * tensor) == 0, (n, fsdp, tensor)
-        data = n // (fsdp * tensor)
-    assert data * fsdp * tensor == n, (data, fsdp, tensor, n)
+        assert n % (fsdp * tensor * pipe) == 0, (n, fsdp, tensor, pipe)
+        data = n // (fsdp * tensor * pipe)
+    assert data * fsdp * tensor * pipe == n, (data, fsdp, tensor, pipe, n)
+    if pipe > 1:
+        from .pipeline import PIPE_AXIS
+
+        dev_array = np.asarray(devices).reshape(pipe, data, fsdp, tensor)
+        return Mesh(dev_array, (PIPE_AXIS, DATA_AXIS, FSDP_AXIS, TENSOR_AXIS))
     dev_array = np.asarray(devices).reshape(data, fsdp, tensor)
     return Mesh(dev_array, (DATA_AXIS, FSDP_AXIS, TENSOR_AXIS))
 
@@ -85,6 +96,7 @@ def mesh_from_config(config: dict, devices=None) -> Mesh:
         data=par.get("data", -1),
         fsdp=par.get("fsdp", 1),
         tensor=par.get("tensor", 1),
+        pipe=par.get("pipe", 1),
     )
 
 
@@ -103,6 +115,26 @@ def constrain_batch_sharding(x):
         return x
     spec = P(BATCH_AXES, *([None] * (x.ndim - 1)))
     return jax.lax.with_sharding_constraint(x, spec)
+
+
+def constrain_seq_sharding(x):
+    """Megatron-SP sequence parallelism: pin [B, T, C] hidden states to
+    shard the token dim over the tensor axis in the inter-block region, so
+    LayerNorm / dropout / residual math (and its activation memory) splits
+    across tp ranks instead of replicating. GSPMD inserts the surrounding
+    all-gather (before qkv) / reduce-scatter (after the residual write)
+    pair. No-op when no tensor mesh axis is active or x isn't rank-3."""
+    if getattr(x, "ndim", 0) != 3:
+        return x
+    try:
+        m = jax.sharding.get_abstract_mesh()
+    except Exception:
+        return x
+    if m is None or m.empty or TENSOR_AXIS not in m.axis_names:
+        return x
+    batch = tuple(a for a in BATCH_AXES if a in m.axis_names)
+    return jax.lax.with_sharding_constraint(
+        x, P(batch if batch else None, TENSOR_AXIS, None))
 
 
 def batch_sharding(mesh: Mesh) -> NamedSharding:

@@ -60,6 +60,11 @@ class VisionConfig:
     attn_drop_rate: float = 0.0
     drop_path_rate: float = 0.1
     layer_norm_eps: float = 1e-6
+    seq_shard: bool = False         # Megatron-SP sequence parallelism between
+                                    # blocks (see TextConfig.seq_shard); the
+                                    # 197-token dim shards unevenly over tp —
+                                    # GSPMD pads — so this mainly pays at
+                                    # 384/480px (577/901 tokens).
     remat: bool = False
     remat_policy: str = "full"
     dtype: Any = jnp.float32
@@ -299,8 +304,14 @@ class BeitVisionTransformer(nn.Module):
         c = self.config
         shared_rpb = self._shared_rpb(x.shape[1])
 
+        if c.seq_shard:
+            from ..core.mesh import constrain_seq_sharding
+
+            x = constrain_seq_sharding(x)
         for blk in self.blocks:
             x = blk(x, shared_rpb, None, deterministic)
+            if c.seq_shard:
+                x = constrain_seq_sharding(x)
 
         # Drop cls, normalize patches, prepend mean-pooled patch feature
         # (reference models/beit2.py:456-466).

@@ -83,6 +83,15 @@ class TextConfig:
                                     # VQA decodes are ~10-25 tokens — sizing
                                     # the cache to the actual decode budget
                                     # saves HBM and scan-carry width.
+    seq_shard: bool = False         # Megatron-SP style sequence parallelism:
+                                    # between blocks, hidden states are
+                                    # constrained to shard the token dim over
+                                    # the tensor axis, so LN / dropout /
+                                    # residual work (and its activation
+                                    # memory) splits across tp ranks instead
+                                    # of replicating. No-op without a tensor
+                                    # mesh axis. Beyond-reference capability
+                                    # (reference is DP-only, SURVEY §2.2).
     remat: bool = False             # activation checkpointing per layer
                                     # (reference models/xbert.py:584-606)
     remat_policy: str = "full"      # 'full' = recompute everything;
@@ -381,6 +390,10 @@ class TextTransformer(nn.Module):
             extra["cross_from_cache"] = True  # must not see extra kwargs
         if encoder_row_idx is not None:
             extra["encoder_row_idx"] = encoder_row_idx
+        if c.seq_shard:
+            from ..core.mesh import constrain_seq_sharding
+
+            x = constrain_seq_sharding(x)
         for i, layer in enumerate(self.layers[lo:hi], start=lo):
             enc, eb = encoder_hidden_states, ebias
             if enc_list is not None:
@@ -395,6 +408,8 @@ class TextTransformer(nn.Module):
             else:
                 x = layer(x, bias, enc, eb,
                           deterministic, decode, **extra)
+            if c.seq_shard:
+                x = constrain_seq_sharding(x)
         return x
 
 

@@ -189,6 +189,17 @@ def config_from_yaml(config: dict, *, use_contrastive_loss=False,
                 fusion_layer=config.get("fusion_fusion_start_at", 0),
                 encoder_width=text.encoder_width, dtype=dtype, **tkw)
 
+    # Sequence parallelism (YAML `parallel: {seq_shard: true}` or top-level
+    # `seq_shard: true`): Megatron-SP activation sharding between blocks —
+    # beyond-reference capability, no-op without a tensor mesh axis.
+    sp = bool((config.get("parallel", {}) or {}).get(
+        "seq_shard", config.get("seq_shard", False)))
+    if sp:
+        if backbone == "beit2":
+            vision = dataclasses.replace(vision, seq_shard=True)
+        text = dataclasses.replace(text, seq_shard=True)
+        fusion = dataclasses.replace(fusion, seq_shard=True)
+
     return XFMConfig(
         vision=vision, text=text, fusion=fusion, vision_backbone=backbone,
         embed_dim=config.get("embed_dim", 256),
