@@ -36,3 +36,28 @@ def test_save_restore_roundtrip(tmp_path):
     # restoring from an empty dir is a no-op
     untouched = restore_checkpoint(str(tmp_path / "nonexistent"), fresh)
     assert int(untouched.step) == 0
+
+
+def test_async_save_then_restore(tmp_path):
+    """block=False returns before the write completes; restore must flush the
+    pending async save and read the just-written step (train-loop cadence:
+    mid-run saves are async, pretrain tasks/pretrain.py)."""
+    params = {"w": jnp.arange(6.0).reshape(2, 3)}
+    tx = optax.sgd(1e-2)
+    state = TrainState.create(params, tx)
+    grads = jax.tree.map(jnp.ones_like, state.params)
+    state = state.apply_gradients(grads)
+
+    d = str(tmp_path / "ckpt_async")
+    save_checkpoint(d, state, step=1, block=False)
+    # immediately restore: wait_for_checkpoints inside must see step 1
+    restored = restore_checkpoint(d, TrainState.create(params, tx))
+    assert int(restored.step) == 1
+    np.testing.assert_allclose(np.asarray(restored.params["w"]),
+                               np.asarray(state.params["w"]))
+
+    # a second async save at a later step supersedes, again visible on read
+    state = state.apply_gradients(grads)
+    save_checkpoint(d, state, step=2, block=False)
+    restored = restore_checkpoint(d, TrainState.create(params, tx))
+    assert int(restored.step) == 2

@@ -83,10 +83,25 @@ def make_mesh(
     if pipe > 1:
         from .pipeline import PIPE_AXIS
 
-        dev_array = np.asarray(devices).reshape(pipe, data, fsdp, tensor)
+        dev_array = _device_array(devices, (pipe, data, fsdp, tensor))
         return Mesh(dev_array, (PIPE_AXIS, DATA_AXIS, FSDP_AXIS, TENSOR_AXIS))
-    dev_array = np.asarray(devices).reshape(data, fsdp, tensor)
+    dev_array = _device_array(devices, (data, fsdp, tensor))
     return Mesh(dev_array, (DATA_AXIS, FSDP_AXIS, TENSOR_AXIS))
+
+
+def _device_array(devices, shape):
+    """Arrange devices on the mesh grid. On TPU, mesh_utils maps the logical
+    grid onto the physical ICI torus (innermost axes get nearest neighbors —
+    a plain reshape can put a tensor-parallel group across the torus and
+    serialize its psums); elsewhere a reshape is exact."""
+    if any(d.platform == "tpu" for d in devices):
+        try:
+            from jax.experimental import mesh_utils
+
+            return mesh_utils.create_device_mesh(shape, devices=devices)
+        except Exception:
+            pass
+    return np.asarray(devices).reshape(shape)
 
 
 def mesh_from_config(config: dict, devices=None) -> Mesh:

@@ -15,7 +15,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from ..core.config import load_config, resolve_vision_config, dump_config
-from ..core.mesh import make_mesh, mesh_from_config, shard_batch
+from ..core.mesh import make_mesh, mesh_from_config
 from ..core.partitioning import param_shardings
 from ..train.metrics import MetricLogger, is_main_process
 from ..train.optim import create_optimizer_from_config
@@ -176,26 +176,33 @@ def train_epoch(ctx: TaskContext, state: TrainState, step_fn, loader,
     """One epoch over `loader` using the jitted `step_fn(state, batch, rng)`.
     Returns (state, stats dict) — the reference's per-task train() loops
     (e.g. Retrieval.py:35-75) collapse into this."""
+    from ..data.prefetch import device_batches
+
     logger = MetricLogger()
     n = 0
     if accum_steps > 1:
         loader = _group_batches(loader, accum_steps)
-    for batch in logger.log_every(loader, print_freq,
-                                  header=f"Train epoch {epoch}:",
-                                  total=max_steps):
-        batch = shard_batch(ctx.mesh, batch,
+    # Double buffering: H2D transfer + host collate run one batch ahead on a
+    # daemon thread (data/prefetch.device_batches), off the dispatch path.
+    loader = device_batches(loader, ctx.mesh,
                             batch_axis=1 if accum_steps > 1 else 0)
-        rng, sub = jax.random.split(rng)
-        with ctx.mesh:
-            state, metrics = step_fn(state, batch, sub)
-        host = {k: float(v) for k, v in metrics.items()
-                if jnp.ndim(v) == 0}
-        if sched is not None:
-            host["lr"] = float(sched(int(state.step)))
-        logger.update(**host)
-        n += 1
-        if max_steps and n >= max_steps:
-            break
+    try:
+        for batch in logger.log_every(loader, print_freq,
+                                      header=f"Train epoch {epoch}:",
+                                      total=max_steps):
+            rng, sub = jax.random.split(rng)
+            with ctx.mesh:
+                state, metrics = step_fn(state, batch, sub)
+            host = {k: float(v) for k, v in metrics.items()
+                    if jnp.ndim(v) == 0}
+            if sched is not None:
+                host["lr"] = float(sched(int(state.step)))
+            logger.update(**host)
+            n += 1
+            if max_steps and n >= max_steps:
+                break
+    finally:
+        loader.close()
     logger.synchronize_between_processes()
     return state, logger.global_avg()
 

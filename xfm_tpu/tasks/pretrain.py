@@ -24,7 +24,6 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from ..core.mesh import shard_batch
 from ..data.pretrain_data import ImageStream, ImageTextStream, TextStream
 from ..data.transforms import TrainTransform
 from ..models import XFMForPretrain, config_from_yaml
@@ -278,6 +277,24 @@ def main(args, config: Optional[dict] = None):
     bs_main = (cfg.get("images", {}) or {}).get("batch_size", 32)
     perf = {"samples": 0, "secs": 0.0, "dispatches": 0}
 
+    # Double buffering: collate + H2D transfer run one dispatch ahead on a
+    # daemon thread (data/prefetch.device_batches) so they overlap the
+    # device step instead of sitting on the dispatch critical path.
+    from ..data.prefetch import device_batches
+
+    def host_batches():
+        while True:
+            if K == 1:
+                yield next_batches()
+            else:
+                group = [next_batches() for _ in range(K)]
+                yield jax.tree.map(
+                    lambda *xs: np.stack([np.asarray(x) for x in xs]), *group)
+
+    batch_iter_dev = device_batches(host_batches(), ctx.mesh,
+                                    batch_axis=0 if K == 1 else 1)
+    batch_source = iter(batch_iter_dev)
+
     step = int(state.step)
     while step < max_steps:
         flags = {name: stream_flags(name, step, cfg) for name in streams
@@ -287,16 +304,13 @@ def main(args, config: Optional[dict] = None):
             step_fn = make_step(flags)
             flags_sig = sig
 
-        if K == 1:
-            batches = shard_batch(ctx.mesh, next_batches())
-        else:
-            group = [next_batches() for _ in range(K)]
-            batches = jax.tree.map(
-                lambda *xs: np.stack([np.asarray(x) for x in xs]), *group)
-            batches = shard_batch(ctx.mesh, batches, batch_axis=1)
+        # the dispatch timer includes the input wait (next() blocks when the
+        # host pipeline is the bottleneck) so the printed throughput is the
+        # sustained end-to-end rate, not device-only
+        t_dispatch = time.perf_counter()
+        batches = next(batch_source)
         rng, sub = jax.random.split(rng)
         metrics = {}
-        t_dispatch = time.perf_counter()
         with ctx.mesh:
             if text_separate:
                 rng, tsub = jax.random.split(rng)
@@ -320,11 +334,16 @@ def main(args, config: Optional[dict] = None):
         if step // ckpt_step != prev // ckpt_step or step >= max_steps:
             from ..train.checkpoint import save_checkpoint
 
+            # mid-run saves are async (the loop pays only the device->host
+            # gather); the final save blocks so exit leaves a complete ckpt
             save_checkpoint(os.path.join(ctx.out_dir, "ckpt"), state,
-                            step=step)
+                            step=step, block=step >= max_steps)
             append_log(ctx.out_dir, {"step": step,
                                      **logger.global_avg(),
                                      "elapsed": time.time() - t0})
+    # stop the lookahead thread (daemon, so an exception path can't hang
+    # the process; on the normal path free its buffered device batches now)
+    batch_iter_dev.close()
     stats = logger.global_avg()
     if perf["secs"] > 0:
         stats["samples_per_sec"] = perf["samples"] / perf["secs"]

@@ -726,19 +726,48 @@ def save_torch_checkpoint(path: str, sd: Dict[str, np.ndarray]) -> None:
 # ---------------------------------------------------------------------------
 # Orbax native checkpoints (reference utils/checkpointer.py equivalent)
 
+# Async checkpointing: managers are cached per directory so a background
+# save owns a live manager for its whole write. The reference's torch.save
+# blocks the train loop for the full serialize+write (utils/checkpointer.py:
+# 28-47); on TPU the step cadence only needs to pay the device->host gather.
+_MANAGERS: dict = {}
+
+
+def _manager(ckpt_dir: str, keep: int):
+    import orbax.checkpoint as ocp
+
+    mngr = _MANAGERS.get(ckpt_dir)
+    if mngr is None:
+        mngr = ocp.CheckpointManager(
+            ckpt_dir, options=ocp.CheckpointManagerOptions(
+                max_to_keep=keep, enable_async_checkpointing=True))
+        _MANAGERS[ckpt_dir] = mngr
+    return mngr
+
+
+def wait_for_checkpoints(ckpt_dir: str | None = None):
+    """Block until pending async saves finish (one dir, or all)."""
+    for d, m in list(_MANAGERS.items()):
+        if ckpt_dir is None or d == os.path.abspath(ckpt_dir):
+            m.wait_until_finished()
+
+
 def save_checkpoint(ckpt_dir: str, state, step: int | None = None,
-                    keep: int = 3):
+                    keep: int = 3, block: bool = True):
+    """block=False returns while the filesystem write continues in the
+    background (orbax async checkpointing); call wait_for_checkpoints() or a
+    later block=True save before reading the step back or exiting."""
     import orbax.checkpoint as ocp
 
     ckpt_dir = os.path.abspath(ckpt_dir)
     os.makedirs(ckpt_dir, exist_ok=True)
-    mngr = ocp.CheckpointManager(
-        ckpt_dir, options=ocp.CheckpointManagerOptions(max_to_keep=keep))
+    mngr = _manager(ckpt_dir, keep)
     step = int(step if step is not None else state.step)
     payload = {"params": state.params, "opt_state": state.opt_state,
                "step": state.step}
     mngr.save(step, args=ocp.args.StandardSave(payload))
-    mngr.wait_until_finished()
+    if block:
+        mngr.wait_until_finished()
     return ckpt_dir
 
 
@@ -749,7 +778,9 @@ def load_params_from_checkpoint(ckpt_dir: str, step: int | None = None):
     fine-tune, reference run.py:311-318)."""
     import orbax.checkpoint as ocp
 
-    mngr = ocp.CheckpointManager(os.path.abspath(ckpt_dir))
+    ckpt_dir = os.path.abspath(ckpt_dir)
+    wait_for_checkpoints(ckpt_dir)  # flush pending async saves
+    mngr = _MANAGERS.get(ckpt_dir) or ocp.CheckpointManager(ckpt_dir)
     step = step if step is not None else mngr.latest_step()
     if step is None:
         raise FileNotFoundError(f"no checkpoint under {ckpt_dir}")
@@ -761,7 +792,8 @@ def restore_checkpoint(ckpt_dir: str, state, step: int | None = None):
     import orbax.checkpoint as ocp
 
     ckpt_dir = os.path.abspath(ckpt_dir)
-    mngr = ocp.CheckpointManager(ckpt_dir)
+    wait_for_checkpoints(ckpt_dir)  # flush pending async saves
+    mngr = _MANAGERS.get(ckpt_dir) or ocp.CheckpointManager(ckpt_dir)
     step = step if step is not None else mngr.latest_step()
     if step is None:
         return state
