@@ -186,6 +186,41 @@ def test_device_augment_batch():
     assert ev.shape == (4, 32, 32, 3)
 
 
+def test_native_scaled_jpeg_decode_matches_pil(tmp_path):
+    """Large-crop JPEGs decode at 1/k scale in the DCT domain (loader.cpp
+    pick_scale_denom): the result must still match PIL decode+crop+bilinear
+    within filter tolerance on a smooth image."""
+    import io as _io
+
+    import pytest
+    from PIL import Image
+    from xfm_tpu import native
+
+    if not native.available():
+        pytest.skip("native loader unavailable")
+
+    # smooth gradient -> minimal JPEG artifacts, so diffs isolate the scaled
+    # decode path rather than compression noise
+    y, x = np.mgrid[0:1024, 0:1024]
+    img = np.stack([(np.sin(x / 211.0) * 100 + 120),
+                    (np.cos(y / 157.0) * 100 + 120),
+                    ((x + y) / 2048.0 * 255)], -1).astype(np.uint8)
+    buf = _io.BytesIO()
+    Image.fromarray(img).save(buf, "JPEG", quality=95)
+    blob = buf.getvalue()
+
+    crop = (64, 32, 896, 896)  # 896 >= 2*224 -> denom 2 kicks in
+    out = native.decode_batch([blob], 224,
+                              crops=np.asarray([crop], np.int32))
+    assert out is not None
+    pil = Image.open(_io.BytesIO(blob)).convert("RGB")
+    ref = pil.crop((crop[0], crop[1], crop[0] + crop[2],
+                    crop[1] + crop[3])).resize((224, 224), Image.BILINEAR)
+    d = np.abs(out[0].astype(np.float32) - np.asarray(ref, np.float32))
+    assert d.mean() <= 2.0, d.mean()
+    assert np.percentile(d, 99) <= 6.0, np.percentile(d, 99)
+
+
 def test_image_text_stream_native_loader(tmp_path):
     """C++ loader product path (VERDICT round-1: it had zero call sites):
     num_workers>0 routes ImageTextStream through native decode; broken

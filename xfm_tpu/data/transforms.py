@@ -178,6 +178,14 @@ class NativeBatchTransform:
         if self.randaug is None or self.device_randaug:
             return u8 if self.emit_uint8 else normalize(u8)
         plans = [self.randaug.plan(self.rng) for _ in range(n)]
+        import os
+
+        if (os.environ.get("XFM_NATIVE_RANDAUG", "1") != "0"
+                and self.native.randaugment_batch(u8, plans, self.randaug.M,
+                                                  threads=self.workers)):
+            # C++ op implementations (loader.cpp RandAugment section),
+            # in-place on the decoded batch — PIL pool only as fallback.
+            return u8 if self.emit_uint8 else normalize(u8)
 
         def one(i):
             img = np.asarray(self.randaug.apply_plan(u8[i], plans[i]),

@@ -65,6 +65,15 @@ def get_lib():
         lib.xfm_decode_batch_status.argtypes = (
             list(lib.xfm_decode_batch.argtypes)
             + [ctypes.POINTER(ctypes.c_int)])
+        try:  # absent in pre-built .so from before the RandAugment section
+            lib.xfm_randaugment_batch.restype = ctypes.c_int
+            lib.xfm_randaugment_batch.argtypes = [
+                ctypes.POINTER(ctypes.c_uint8), ctypes.c_int, ctypes.c_int,
+                ctypes.POINTER(ctypes.c_int), ctypes.POINTER(ctypes.c_float),
+                ctypes.c_int, ctypes.c_float, ctypes.c_int,
+            ]
+        except AttributeError:
+            pass
         _lib = lib
         return _lib
 
@@ -90,6 +99,45 @@ def image_dims(data: bytes, fast: bool = False):
                           ctypes.byref(h)) != 0:
         return None
     return w.value, h.value
+
+
+# op name → code, matching loader.cpp's RandaugOp enum.
+RANDAUG_OP_CODES = {
+    "Identity": 0, "AutoContrast": 1, "Equalize": 2, "Brightness": 3,
+    "Sharpness": 4, "ShearX": 5, "ShearY": 6, "TranslateX": 7,
+    "TranslateY": 8, "Rotate": 9, "Invert": 10, "Posterize": 11,
+    "Solarize": 12, "Color": 13, "Contrast": 14,
+}
+
+
+def randaugment_batch(images: np.ndarray, plans: list, m: float,
+                      threads: int | None = None) -> bool:
+    """Apply per-image RandAugment plans IN PLACE on a [B,S,S,3] uint8 batch
+    via the C++ op implementations (PIL conventions; loader.cpp RandAugment
+    section). `plans[i]` is RandomAugment.plan() output: [(name, sign), ...].
+    Returns False (caller falls back to PIL) when unavailable."""
+    lib = get_lib()
+    if lib is None or not hasattr(lib, "xfm_randaugment_batch"):
+        return False
+    assert images.dtype == np.uint8 and images.ndim == 4
+    n, s = images.shape[0], images.shape[1]
+    max_ops = max([len(p) for p in plans] + [1])
+    codes = np.full((n, max_ops), -1, np.int32)
+    signs = np.zeros((n, max_ops), np.float32)
+    for i, plan in enumerate(plans):
+        for k, (name, sign) in enumerate(plan):
+            codes[i, k] = RANDAUG_OP_CODES[name]
+            signs[i, k] = sign
+    if threads is None:
+        threads = min(max(os.cpu_count() or 4, 1), 16)
+    # in-place: a contiguity copy here would silently discard the results
+    assert images.flags["C_CONTIGUOUS"], "randaugment_batch needs contiguous"
+    lib.xfm_randaugment_batch(
+        images.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)), n, s,
+        codes.ctypes.data_as(ctypes.POINTER(ctypes.c_int)),
+        signs.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+        max_ops, float(m), threads)
+    return True
 
 
 def decode_batch(blobs: list[bytes], out_size: int,
