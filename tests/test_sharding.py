@@ -281,6 +281,9 @@ print("compiled-ok")
     env = dict(os.environ,
                XLA_FLAGS="--xla_force_host_platform_device_count=8",
                JAX_PLATFORMS="cpu")
+    # A persistent-cache hit would skip the SPMD partitioner entirely and
+    # make this regression test vacuous — force a real compile.
+    env.pop("JAX_COMPILATION_CACHE_DIR", None)
     res = subprocess.run([sys.executable, "-c", code], env=env,
                          capture_output=True, text=True, timeout=1200)
     assert "compiled-ok" in res.stdout, res.stderr[-2000:]
