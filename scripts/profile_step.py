@@ -56,13 +56,32 @@ def fields(buf):
 
 
 def parse_event(buf):
-    md = dur = 0
+    md = dur = off = 0
     for fno, wt, v in fields(buf):
         if fno == 1:
             md = v
+        elif fno == 2:
+            off = v
         elif fno == 3:
             dur = v
-    return md, dur
+    return md, off, dur
+
+
+def interval_union(iv):
+    """Total covered picoseconds of a list of (start, end) intervals."""
+    iv.sort()
+    tot = 0
+    cs = ce = None
+    for s, e in iv:
+        if ce is None or s > ce:
+            if ce is not None:
+                tot += ce - cs
+            cs, ce = s, e
+        else:
+            ce = max(ce, e)
+    if ce is not None:
+        tot += ce - cs
+    return tot
 
 
 def parse_line(buf):
@@ -133,6 +152,7 @@ def op_totals(xspace_path, plane_filter=("TPU", "/device")):
     totals = defaultdict(int)
     counts = defaultdict(int)
     by_line = defaultdict(int)
+    busy = defaultdict(list)   # line -> [(start, end)] of leaf events
     plane_names = []
     for pname, lines, meta in parse_space(data):
         pn = pname.decode(errors="replace")
@@ -141,16 +161,17 @@ def op_totals(xspace_path, plane_filter=("TPU", "/device")):
             continue
         for lname, events in lines:
             ln = lname.decode(errors="replace")
-            for mid, dur in events:
+            for mid, off, dur in events:
                 name = meta.get(mid, b"?").decode(errors="replace")
                 by_line[ln] += dur
                 if name.startswith("%while") or name.startswith("jit_") \
                         or name.isdigit():
                     continue  # enclosing spans, not leaves
+                busy[ln].append((off, off + dur))
                 cat = f"[{ln}] {categorize(name)}"
                 totals[cat] += dur
                 counts[cat] += 1
-    return totals, counts, plane_names, by_line
+    return totals, counts, plane_names, by_line, busy
 
 
 def main():
@@ -208,12 +229,28 @@ def main():
 
     path = max(existing, key=os.path.getmtime)
     print(f"# parsing {path}")
-    totals, counts, planes, by_line = op_totals(path)
+    totals, counts, planes, by_line, busy = op_totals(path)
     print(f"# planes: {planes}")
     for ln, ps in sorted(by_line.items(), key=lambda kv: -kv[1]):
-        print(f"# line {ln!r}: {ps / 1e9:.3f} ms total")
+        print(f"# line {ln!r}: {ps / 1e9:.3f} ms summed")
+    # Interval-union busy time is the honest utilization number: per-op sums
+    # double-count nested/overlapping events (async DMA overlaps compute, and
+    # events repeat per scan iteration), so "sum >> wall" does NOT mean the
+    # device is oversubscribed. union(all lines) vs the trace span is the
+    # idle fraction.
+    allv = []
+    for ln, iv in busy.items():
+        u = interval_union(list(iv))
+        allv += iv
+        print(f"# line {ln!r}: {u / 1e9:.3f} ms union-busy")
+    if allv:
+        span = max(e for _, e in allv) - min(s for s, _ in allv)
+        u = interval_union(allv)
+        print(f"# device union-busy {u / 1e9:.3f} ms / span {span / 1e9:.3f}"
+              f" ms = {100 * u / span:.1f}% busy")
     total_ps = sum(totals.values())
-    print(f"# leaf-op time: {total_ps / 1e9:.3f} ms over 3 steps")
+    print(f"# leaf-op time: {total_ps / 1e9:.3f} ms over 3 steps "
+          f"(summed, overlap double-counted)")
     for name, ps in sorted(totals.items(), key=lambda kv: -kv[1])[:top]:
         print(f"{ps / 1e9:10.3f} ms  {100 * ps / total_ps:5.1f}%  "
               f"×{counts[name]:<6d} {name[:120]}")
