@@ -138,9 +138,13 @@ def categorize(name: str) -> str:
     head = name.split(" = ", 1)[0].strip().lstrip("%")
     head = re.sub(r"[.\d]+$", "", head)
     shape = ""
-    m = re.search(r"= (\(?[a-z0-9]+\[[^]]*\])", name)
+    # Everything between "= " and the opcode's "(" is the output shape spec;
+    # keep the whole tuple ("(f32[], bf16[768,3072,1])" is a weight-grad
+    # matmul with a fused norm partial, not a scalar op) but strip the
+    # per-element layout annotations for readability.
+    m = re.search(r"= (.+?) [a-z][a-z0-9-]*\(", name)
     if m:
-        shape = " " + m.group(1)
+        shape = " " + re.sub(r"\{[^{}]*\}", "", m.group(1))
     return head + shape
 
 
