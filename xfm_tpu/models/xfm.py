@@ -149,7 +149,8 @@ def config_from_yaml(config: dict, *, use_contrastive_loss=False,
                        use_mean_pooling=True, dtype=dtype,
                        hidden_act=config.get("hidden_act", "gelu"),
                        local_attn_depth=config.get("local_attn_depth", -1),
-                       remat=config.get("gradient_checkpointing", False))
+                       remat=config.get("gradient_checkpointing", False),
+                       remat_policy=config.get("remat_policy", "full"))
         vision = (VisionConfig.beit_large(**base_kw) if large
                   else VisionConfig.beit_base(**base_kw))
         # explicit size overrides (debug/tiny configs)
@@ -167,7 +168,8 @@ def config_from_yaml(config: dict, *, use_contrastive_loss=False,
     is_roberta = "roberta" in str(config.get("text_encoder", "roberta-base"))
     mk = TextConfig.roberta_base if is_roberta else TextConfig.bert_base
     n_text = config.get("text_num_hidden_layers", 12)
-    tkw = {"remat": config.get("gradient_checkpointing", False)}
+    tkw = {"remat": config.get("gradient_checkpointing", False),
+           "remat_policy": config.get("remat_policy", "full")}
     if config.get("hidden_act"):
         tkw["hidden_act"] = config["hidden_act"]
     for src, dst in (("text_hidden_size", "hidden_size"),
