@@ -1,0 +1,101 @@
+"""Real-chip parity tests for the Pallas kernels.
+
+The CPU suite checks these kernels in interpret mode; here the compiled
+Mosaic lowering runs on the actual MXU/VPU. Tolerances are bf16-scale:
+the XLA reference path also computes in bf16 on the chip.
+"""
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+
+def _mae(a, b):
+    return float(jnp.mean(jnp.abs(a.astype(jnp.float32)
+                                  - b.astype(jnp.float32))))
+
+
+@pytest.mark.parametrize("B,N,H,D", [(4, 197, 12, 64)])
+def test_packed_attention_fwd_bwd_parity(tpu, B, N, H, D):
+    """Packed-qkv kernel vs the XLA path, fwd + full backward (dqkv, dbias),
+    on the rel-pos-bias self-attention shape it dispatches for."""
+    from xfm_tpu.ops.attention import dot_product_attention
+    from xfm_tpu.ops.flash_attention import flash_attention_packed, packed_ok
+
+    k1, k2 = jax.random.split(jax.random.PRNGKey(0))
+    qkv = jax.random.normal(k1, (B, N, 3 * H * D), jnp.bfloat16) * 0.5
+    bias = jax.random.normal(k2, (1, H, N, N), jnp.float32) * 0.1
+    assert packed_ok(qkv.shape, H, bias, qkv.dtype), \
+        "kernel must dispatch for this shape on TPU"
+    scale = D ** -0.5
+
+    def xla_path(qkv, bias):
+        q, k, v = jnp.split(qkv, 3, axis=-1)
+        out = dot_product_attention(
+            q.reshape(B, N, H, D), k.reshape(B, N, H, D),
+            v.reshape(B, N, H, D), bias=bias, use_flash=False)
+        return out.reshape(B, N, H * D)
+
+    def loss_kernel(qkv, bias):
+        return jnp.sum(flash_attention_packed(qkv, bias, scale, H) ** 2)
+
+    def loss_xla(qkv, bias):
+        return jnp.sum(xla_path(qkv, bias) ** 2)
+
+    out_k = jax.jit(lambda a, b: flash_attention_packed(a, b, scale, H))(
+        qkv, bias)
+    out_x = jax.jit(xla_path)(qkv, bias)
+    assert _mae(out_k, out_x) < 5e-3
+
+    gk = jax.jit(jax.grad(loss_kernel, argnums=(0, 1)))(qkv, bias)
+    gx = jax.jit(jax.grad(loss_xla, argnums=(0, 1)))(qkv, bias)
+    assert _mae(gk[0], gx[0]) < 5e-2          # dqkv (bf16 grads, N=197 sums)
+    rel = (jnp.abs(gk[1] - gx[1]).mean()
+           / (jnp.abs(gx[1]).mean() + 1e-8))
+    assert float(rel) < 5e-2                   # dbias
+
+
+def test_fused_ln_parity(tpu):
+    """Opt-in fused add+LN kernel vs the jnp reference on chip, fwd+bwd."""
+    from xfm_tpu.ops.fused_ln import _fwd_reference, fused_add_ln
+
+    k1, k2 = jax.random.split(jax.random.PRNGKey(1))
+    x = jax.random.normal(k1, (96, 197, 768), jnp.bfloat16)
+    y = jax.random.normal(k2, (96, 197, 768), jnp.bfloat16)
+    gamma = jnp.ones((768,), jnp.float32)
+    beta = jnp.zeros((768,), jnp.float32)
+
+    def ref(x, y):
+        h, _ = _fwd_reference(x, y, gamma, beta, 1e-6)
+        return h
+
+    def kern(x, y):
+        h, _ = fused_add_ln(x, y, gamma, beta)
+        return h
+
+    hk = jax.jit(kern)(x, y)
+    hr = jax.jit(ref)(x, y)
+    assert _mae(hk, hr) < 2e-2
+
+    gk = jax.jit(jax.grad(lambda x, y: jnp.sum(kern(x, y) ** 2),
+                          argnums=(0, 1)))(x, y)
+    gr = jax.jit(jax.grad(lambda x, y: jnp.sum(ref(x, y) ** 2),
+                          argnums=(0, 1)))(x, y)
+    assert _mae(gk[0], gr[0]) < 5e-2
+    assert _mae(gk[1], gr[1]) < 5e-2
+
+
+def test_fast_erf_gelu_on_chip(tpu):
+    """gelu_erf_fast must stay bf16-ulp-exact vs the exact erf GELU on the
+    real VPU (the CPU test pins the same property against the polynomial's
+    float32 evaluation)."""
+    from xfm_tpu.ops.activations import gelu_erf, gelu_erf_fast
+
+    x = jnp.linspace(-6.0, 6.0, 8192, dtype=jnp.float32).astype(jnp.bfloat16)
+    exact = jax.jit(gelu_erf)(x)
+    fast = jax.jit(gelu_erf_fast)(x)
+    # identical bf16 bit patterns except possibly sub-ulp ties
+    diff = jnp.abs(exact.astype(jnp.float32) - fast.astype(jnp.float32))
+    ulp = jnp.maximum(jnp.abs(exact.astype(jnp.float32)) * 2 ** -8, 2 ** -14)
+    assert float(jnp.max(diff / ulp)) <= 1.0 + 1e-6
