@@ -43,7 +43,7 @@ def make_data(path: str, n: int = 256, res: int = 256) -> None:
 
 
 def make_config(path: str, data_path: str, batch: int, steps: int,
-                dispatch: int, workers: int) -> None:
+                dispatch: int, workers: int, no_dropout: bool = False) -> None:
     import yaml
 
     cfg = dict(
@@ -65,6 +65,7 @@ def make_config(path: str, data_path: str, batch: int, steps: int,
         max_words=30, max_tokens=30, mask_prob=0.5, max_masks=15,
         num_masking_patches=75, min_num_patches=16, use_mm_mim_loss=True,
         max_steps=steps, dispatch_steps=dispatch,
+        bench_redispatch=3,  # post-loop device-resident-input probe
         ckpt_frequent_step=10 ** 9,  # no checkpoints mid-bench
         print_freq=dispatch,
         schedular={"sched": "linear", "lr": 1e-4, "epochs": 1,
@@ -73,6 +74,9 @@ def make_config(path: str, data_path: str, batch: int, steps: int,
         accelerator={"FP16_OPT_LEVEL": "O1", "CLIP_GRAD_NORM": 1.0},
         parallel={"data": -1, "fsdp": 1, "tensor": 1},
     )
+    if no_dropout:  # attribution vs bench.py's deterministic step
+        cfg.update(drop_path_rate=0.0, hidden_dropout_prob=0.0,
+                   attention_probs_dropout_prob=0.0)
     with open(path, "w") as f:
         yaml.safe_dump(cfg, f, sort_keys=False)
 
@@ -84,6 +88,7 @@ def main():
     ap.add_argument("--dispatch", type=int, default=10)
     ap.add_argument("--workers", type=int,
                     default=int(os.environ.get("XFM_BENCH_WORKERS", "8")))
+    ap.add_argument("--no_dropout", action="store_true")
     ap.add_argument("--keep", action="store_true")
     args = ap.parse_args()
 
@@ -92,7 +97,7 @@ def main():
     cfg_path = os.path.join(tmp, "bench.yaml")
     make_data(data_path)
     make_config(cfg_path, data_path, args.batch, args.steps, args.dispatch,
-                args.workers)
+                args.workers, no_dropout=args.no_dropout)
 
     env = dict(os.environ)
     env.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/jax_cache")
@@ -109,11 +114,20 @@ def main():
                           "value": None, "unit": "samples/s/chip",
                           "error": f"rc={proc.returncode}"}))
         sys.exit(1)
-    print(json.dumps({
+    out = {
         "metric": "pretrain_samples_per_sec_via_run",
         "value": round(float(m.group(1)), 2),
         "unit": "samples/s/chip",
-    }))
+    }
+    # device-only rate (input wait excluded): the honest step-speed number
+    # when the dev host's ~30 MB/s tunnel makes the product path input-bound
+    md = re.search(r"device-only ([0-9.]+)\)", proc.stdout)
+    if md:
+        out["device_only"] = round(float(md.group(1)), 2)
+    mr = re.search(r"### redispatch ([0-9.]+) samples/s", proc.stdout)
+    if mr:
+        out["redispatch"] = round(float(mr.group(1)), 2)
+    print(json.dumps(out))
 
 
 if __name__ == "__main__":

@@ -143,7 +143,10 @@ def config_from_yaml(config: dict, *, use_contrastive_loss=False,
         backbone = "swin"
     else:  # beit2 default (reference models/xfm.py:208-230)
         large = "large" in str(config.get("vision_config", "base"))
-        base_kw = dict(image_res=image_res, drop_path_rate=0.1,
+        base_kw = dict(image_res=image_res,
+                       # reference hardcodes 0.1 (models/xfm.py:190); the YAML
+                       # key is an xfm_tpu extension (ablation / bench use)
+                       drop_path_rate=config.get("drop_path_rate", 0.1),
                        use_rel_pos_bias=True, use_abs_pos_emb=False,
                        init_values=0.1, qkv_bias=True,
                        use_mean_pooling=True, dtype=dtype,
@@ -172,6 +175,11 @@ def config_from_yaml(config: dict, *, use_contrastive_loss=False,
            "remat_policy": config.get("remat_policy", "full")}
     if config.get("hidden_act"):
         tkw["hidden_act"] = config["hidden_act"]
+    # xfm_tpu extension: dropout-rate overrides (reference uses the HF
+    # defaults, 0.1/0.1 — these keys exist for ablations and benchmarks)
+    for k in ("hidden_dropout_prob", "attention_probs_dropout_prob"):
+        if config.get(k) is not None:
+            tkw[k] = float(config[k])
     for src, dst in (("text_hidden_size", "hidden_size"),
                      ("text_num_attention_heads", "num_attention_heads"),
                      ("text_intermediate_size", "intermediate_size"),

@@ -24,7 +24,7 @@ from ..models import XFMForCaptioning, config_from_yaml, generate
 from ..models.generation import shift_lm_loss
 from ..train.metrics import is_main_process
 from ..train.train_state import make_train_step
-from .common import TaskContext, append_log, build_state, train_epoch
+from .common import task_rng, TaskContext, append_log, build_state, train_epoch
 from .retrieval import build_tokenizer_or_fallback, _maybe_shrink_vocab
 from .vqa import collect_results
 
@@ -163,7 +163,7 @@ def main(args, config: Optional[dict] = None, scst: bool = False):
         return loss, {}
 
     step_fn = make_train_step(loss_fn)
-    rng = jax.random.PRNGKey(ctx.seed)
+    rng = task_rng(ctx)
     from .common import maybe_resume_epochs, save_epoch_checkpoint
 
     state, start_epoch = maybe_resume_epochs(ctx, state)
@@ -219,7 +219,7 @@ def train_scst(ctx, cfg, model, state, train_data, tokenizer):
         (loss, _), grads = jax.value_and_grad(lf, has_aux=True)(state.params)
         return state.apply_gradients(grads), loss
 
-    rng = jax.random.PRNGKey(ctx.seed)
+    rng = task_rng(ctx)
     step = 0
     for epoch in range(int(cfg.get("schedular", {}).get("epochs", 3))):
         for batch in train_data.epoch(epoch_seed=ctx.seed + epoch):
@@ -324,7 +324,7 @@ def main_domain_pretrain(args, config: Optional[dict] = None):
         return loss, {}
 
     step_fn = make_train_step(loss_fn)
-    rng = jax.random.PRNGKey(ctx.seed)
+    rng = task_rng(ctx)
     max_steps = int(cfg.get("max_steps", 1000))
     from ..core.mesh import shard_batch
 

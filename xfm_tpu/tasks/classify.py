@@ -18,7 +18,7 @@ from ..data.transforms import TestTransform, TrainTransform, decode_image
 from ..models import XFMForClassification, config_from_yaml
 from ..train.metrics import is_main_process
 from ..train.train_state import make_train_step
-from .common import TaskContext, append_log, build_state, train_epoch
+from .common import task_rng, TaskContext, append_log, build_state, train_epoch
 from .retrieval import build_tokenizer_or_fallback, _maybe_shrink_vocab
 
 
@@ -134,7 +134,7 @@ def main(args, config: Optional[dict] = None):
         return loss, {}
 
     step_fn = make_train_step(loss_fn)
-    rng = jax.random.PRNGKey(ctx.seed)
+    rng = task_rng(ctx)
     best = 0.0
     for epoch in range(int(cfg.get("schedular", {}).get("epochs", 10))):
         loader = batches(train_rows, tokenizer, tt_train,

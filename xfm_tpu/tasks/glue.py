@@ -22,7 +22,7 @@ from ..train.metrics import is_main_process
 from ..train.optim import create_optimizer
 from ..train.schedules import linear_warmup_decay
 from ..train.train_state import TrainState, make_train_step
-from .common import TaskContext, append_log, train_epoch
+from .common import task_rng, TaskContext, append_log, train_epoch
 
 TASK_KEYS = {
     "cola": ("sentence", None), "sst2": ("sentence", None),
@@ -212,7 +212,7 @@ def main(args, config: Optional[dict] = None):
 
     # `gradient_accumulation_steps` (reference run_glue.py:314-360)
     step_fn, accum = make_task_step(ctx, loss_fn)
-    rng = jax.random.PRNGKey(ctx.seed)
+    rng = task_rng(ctx)
 
     best = -1e9
     if getattr(args, "evaluate", False):

@@ -21,7 +21,7 @@ from ..models import XFMForGrounding, config_from_yaml
 from ..models.losses import box_cxcywh_to_xyxy
 from ..train.metrics import is_main_process
 from ..train.train_state import make_train_step
-from .common import TaskContext, append_log, build_state, train_epoch
+from .common import task_rng, TaskContext, append_log, build_state, train_epoch
 from .retrieval import build_tokenizer_or_fallback, _maybe_shrink_vocab
 
 
@@ -121,7 +121,7 @@ def main(args, config: Optional[dict] = None,
         return lb + lg, {"loss_bbox": lb, "loss_giou": lg}
 
     step_fn = make_train_step(loss_fn)
-    rng = jax.random.PRNGKey(ctx.seed)
+    rng = task_rng(ctx)
     from .common import maybe_resume_epochs, save_epoch_checkpoint
 
     state, start_epoch = maybe_resume_epochs(ctx, state)

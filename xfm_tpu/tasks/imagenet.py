@@ -22,7 +22,7 @@ from ..train.metrics import is_main_process
 from ..train.optim import create_optimizer, lars
 from ..train.schedules import half_cosine
 from ..train.train_state import TrainState, make_train_step
-from .common import TaskContext, append_log, train_epoch
+from .common import task_rng, TaskContext, append_log, train_epoch
 
 
 def load_manifest(path_or_dir: str):
@@ -208,7 +208,7 @@ def main(args, config: Optional[dict] = None):
         return loss, {}
 
     step_fn = make_train_step(loss_fn)
-    rng = jax.random.PRNGKey(ctx.seed)
+    rng = task_rng(ctx)
     host_rng = np.random.default_rng(ctx.seed)
     ttf = TrainTransform(image_res, scale=(0.08, 1.0))
     best = 0.0

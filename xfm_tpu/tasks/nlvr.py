@@ -14,7 +14,7 @@ from ..data.transforms import TestTransform, TrainTransform
 from ..models import XFMForNLVR, config_from_yaml
 from ..train.metrics import is_main_process
 from ..train.train_state import make_train_step
-from .common import TaskContext, append_log, build_state, train_epoch
+from .common import task_rng, TaskContext, append_log, build_state, train_epoch
 from .retrieval import build_tokenizer_or_fallback, _maybe_shrink_vocab
 
 
@@ -84,7 +84,7 @@ def main(args, config: Optional[dict] = None):
         return loss, {}
 
     step_fn = make_train_step(loss_fn)
-    rng = jax.random.PRNGKey(ctx.seed)
+    rng = task_rng(ctx)
     from .common import maybe_resume_epochs, save_epoch_checkpoint
 
     state, start_epoch = maybe_resume_epochs(ctx, state)

@@ -29,7 +29,7 @@ from ..data.transforms import TrainTransform
 from ..models import XFMForPretrain, config_from_yaml
 from ..train.metrics import MetricLogger, is_main_process
 from ..train.train_state import make_multi_train_step, make_train_step
-from .common import TaskContext, append_log, build_state
+from .common import task_rng, TaskContext, append_log, build_state
 from .retrieval import build_tokenizer_or_fallback, _maybe_shrink_vocab
 
 LOSS_KEYS = ("loss_itc", "loss_itm", "loss_mlm", "loss_mim", "loss_bbox",
@@ -257,7 +257,7 @@ def main(args, config: Optional[dict] = None):
     iters = {name: iter(Prefetcher(s, depth=2))
              for name, s in streams.items()}
     logger = MetricLogger()
-    rng = jax.random.PRNGKey(ctx.seed)
+    rng = task_rng(ctx)
     step_fn = None
     text_step_fn = make_text_step() if text_separate else None
     flags_sig = None
@@ -275,7 +275,7 @@ def main(args, config: Optional[dict] = None):
     # Throughput accounting: wall time per dispatch after the compile
     # dispatches, in image-stream samples/s/process (comparable to bench.py).
     bs_main = (cfg.get("images", {}) or {}).get("batch_size", 32)
-    perf = {"samples": 0, "secs": 0.0, "dispatches": 0}
+    perf = {"samples": 0, "secs": 0.0, "input_secs": 0.0, "dispatches": 0}
 
     # Double buffering: collate + H2D transfer run one dispatch ahead on a
     # daemon thread (data/prefetch.device_batches) so they overlap the
@@ -309,6 +309,7 @@ def main(args, config: Optional[dict] = None):
         # sustained end-to-end rate, not device-only
         t_dispatch = time.perf_counter()
         batches = next(batch_source)
+        t_input = time.perf_counter() - t_dispatch
         rng, sub = jax.random.split(rng)
         metrics = {}
         with ctx.mesh:
@@ -319,11 +320,15 @@ def main(args, config: Optional[dict] = None):
                 metrics.update(tmetrics)
             state, smetrics = step_fn(state, batches, sub)
             metrics.update(smetrics)
-        logger.update(**{k: float(v) for k, v in metrics.items()
-                         if jnp.ndim(v) == 0})  # float() forces completion
+        # ONE device_get RPC for all scalars (forces step completion); N
+        # separate float() fetches cost N x the tunnel RTT per dispatch
+        host_metrics = jax.device_get(
+            {k: v for k, v in metrics.items() if jnp.ndim(v) == 0})
+        logger.update(**{k: float(v) for k, v in host_metrics.items()})
         perf["dispatches"] += 1
         if perf["dispatches"] > 2:  # skip compile + first steady dispatch
             perf["secs"] += time.perf_counter() - t_dispatch
+            perf["input_secs"] += t_input
             perf["samples"] += bs_main * K
         prev, step = step, step + K
         if (step // cfg.get("print_freq", 50)
@@ -341,13 +346,47 @@ def main(args, config: Optional[dict] = None):
             append_log(ctx.out_dir, {"step": step,
                                      **logger.global_avg(),
                                      "elapsed": time.time() - t0})
+    # Attribution probe (`bench_redispatch: N` in the YAML, bench-only): re-run
+    # N dispatches on the LAST device-resident batch group — no new H2D, same
+    # compiled step_fn and metric fetches. Sustained-vs-redispatch isolates the
+    # input pipeline / H2D link; redispatch-vs-bench.py isolates any remaining
+    # step-level delta. On the dev tunnel (~30 MB/s H2D) this is the only
+    # reliable way to see past transfer contention (PERF.md).
+    redisp = int(cfg.get("bench_redispatch", 0))
+    stats_redisp = None
+    if redisp and perf["dispatches"] > 2:
+        t0r = time.perf_counter()
+        for _ in range(redisp):
+            rng, sub = jax.random.split(rng)
+            with ctx.mesh:
+                state, rmetrics = step_fn(state, batches, sub)
+            jax.device_get({k: v for k, v in rmetrics.items()
+                            if jnp.ndim(v) == 0})  # force completion
+        dtr = time.perf_counter() - t0r
+        stats_redisp = bs_main * K * redisp / dtr
+        if is_main_process():
+            print(f"### redispatch {stats_redisp:.1f} samples/s/process "
+                  f"(device-resident input)", flush=True)
+
     # stop the lookahead thread (daemon, so an exception path can't hang
     # the process; on the normal path free its buffered device batches now)
     batch_iter_dev.close()
     stats = logger.global_avg()
+    if stats_redisp is not None:
+        stats["redispatch_samples_per_sec"] = stats_redisp
     if perf["secs"] > 0:
         stats["samples_per_sec"] = perf["samples"] / perf["secs"]
+        # Device-only rate: excludes the input wait (next() blocks when the
+        # host pipeline / H2D link is the bottleneck — e.g. the dev tunnel's
+        # ~30 MB/s H2D, PERF.md). Separates "the step is slow" from "the
+        # step is starved"; on a real TPU-VM host the two rates converge.
+        dev_secs = perf["secs"] - perf["input_secs"]
+        if dev_secs > 0:
+            stats["device_samples_per_sec"] = perf["samples"] / dev_secs
         if is_main_process():
+            dev = stats.get("device_samples_per_sec")
             print(f"### throughput {stats['samples_per_sec']:.1f} "
-                  f"samples/s/process (post-warmup)", flush=True)
+                  f"samples/s/process (post-warmup"
+                  + (f"; device-only {dev:.1f}" if dev else "") + ")",
+                  flush=True)
     return stats

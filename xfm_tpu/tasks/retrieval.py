@@ -22,7 +22,7 @@ from ..data.transforms import TestTransform, TrainTransform
 from ..models import XFMForRetrieval, config_from_yaml
 from ..train.metrics import is_main_process
 from ..train.train_state import make_train_step
-from .common import TaskContext, append_log, build_state, train_epoch
+from .common import task_rng, TaskContext, append_log, build_state, train_epoch
 
 
 def encode_corpus(model, params, eval_data: RetrievalEvalData,
@@ -241,7 +241,7 @@ def main(args, config: Optional[dict] = None):
     # `accumulate_steps` (reference Retrieval.py:45,55-65): K micro-batches
     # per optimizer step
     step_fn, accum = make_task_step(ctx, loss_fn)
-    rng = jax.random.PRNGKey(ctx.seed)
+    rng = task_rng(ctx)
     from .common import maybe_resume_epochs, save_epoch_checkpoint
 
     state, start_epoch = maybe_resume_epochs(ctx, state)
