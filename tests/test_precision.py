@@ -109,3 +109,37 @@ def test_tiny_pretrain_step_under_policy(bf16):
                       rngs={"hardneg": jax.random.PRNGKey(1)})
     total = out["loss_itc"] + out["loss_itm"] + out["loss_mlm"] + out["loss_mim"]
     assert np.isfinite(float(total))
+
+
+def test_task_rng_impl_override():
+    """`prng_impl:` YAML key selects the task-loop generator; the CPU default
+    stays threefry so existing test streams are unchanged."""
+    import jax.random as jr
+
+    from xfm_tpu.tasks.common import TaskContext, task_rng
+
+    ctx = TaskContext(config={}, mesh=None, out_dir="/tmp", seed=7)
+    default_key = task_rng(ctx)
+    assert str(jr.key_impl(default_key)) == "threefry2x32"  # cpu backend
+    ctx_rbg = TaskContext(config={"prng_impl": "rbg"}, mesh=None,
+                          out_dir="/tmp", seed=7)
+    rbg_key = task_rng(ctx_rbg)
+    assert str(jr.key_impl(rbg_key)) == "rbg"
+    # the key drives the same downstream API
+    a, b = jr.split(rbg_key)
+    assert float(jr.uniform(a)) != float(jr.uniform(b))
+
+
+def test_dropout_rate_config_keys():
+    """YAML dropout/droppath overrides reach the tower configs (xfm_tpu
+    extension; reference hardcodes 0.1 at models/xfm.py:190 + HF defaults)."""
+    from xfm_tpu.models.xfm import config_from_yaml
+
+    c = config_from_yaml({"drop_path_rate": 0.0, "hidden_dropout_prob": 0.0,
+                          "attention_probs_dropout_prob": 0.05})
+    assert c.vision.drop_path_rate == 0.0
+    assert c.text.hidden_dropout_prob == 0.0
+    assert c.fusion.attention_probs_dropout_prob == 0.05
+    d = config_from_yaml({})
+    assert d.vision.drop_path_rate == 0.1
+    assert d.text.hidden_dropout_prob == 0.1
