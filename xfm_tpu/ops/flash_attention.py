@@ -287,10 +287,12 @@ def _fused_attention_bwd_impl(q, k, v, bias, scale, g, interpret=False):
     qspec = pl.BlockSpec((1, 1, blk_q, D), qmap)
     kvspec = pl.BlockSpec((1, 1, Nkp, D), kvmap)
 
+    # input-dtype grad outputs (single store per block, no accumulation):
+    # bit-identical to writing f32 and casting after, half the HBM writes
     out_shapes = [
-        jax.ShapeDtypeStruct((B, H, Nqp, D), jnp.float32),  # dq
-        jax.ShapeDtypeStruct((B, H, Nkp, D), jnp.float32),  # dk
-        jax.ShapeDtypeStruct((B, H, Nkp, D), jnp.float32),  # dv
+        jax.ShapeDtypeStruct((B, H, Nqp, D), q.dtype),   # dq
+        jax.ShapeDtypeStruct((B, H, Nkp, D), k.dtype),   # dk
+        jax.ShapeDtypeStruct((B, H, Nkp, D), v.dtype),   # dv
     ]
     out_specs = [qspec, kvspec, kvspec]
 
@@ -338,9 +340,9 @@ def _fused_attention_bwd_impl(q, k, v, bias, scale, g, interpret=False):
     def unprep(x, n):
         return jnp.swapaxes(x[:, :, :n], 1, 2)
 
-    dq = unprep(outs[0], Nq).astype(q.dtype)
-    dk = unprep(outs[1], Nk).astype(k.dtype)
-    dv = unprep(outs[2], Nk).astype(v.dtype)
+    dq = unprep(outs[0], Nq)
+    dk = unprep(outs[1], Nk)
+    dv = unprep(outs[2], Nk)
     db = None
     if has_bias:
         bq = bias.shape[2]
@@ -441,7 +443,10 @@ def _pick_g(B: int, Np: int, bwd: bool = False) -> int:
         g = int(env)
         return g if g >= 1 and B % g == 0 else 1
     budget = 4 * 1024 * 1024  # qkv+out blocks; x2 double-buffered by Mosaic
-    cap = 4 if bwd else 16  # bwd G=8 blows scoped vmem (21 MB); 4 fits
+    # bwd G=8 blew scoped vmem (21 MB) while dq/dk/dv were written f32;
+    # input-dtype grad outputs shrink the live stores and G=8 both fits and
+    # measures fastest (250.8 vs 249.7 samples/s at G=4; G=12 ties, PERF.md)
+    cap = 8 if bwd else 16
     for g in (16, 12, 8, 6, 4, 3, 2):
         if g <= cap and B % g == 0 and 4 * g * Np * 128 * 2 <= budget:
             return g
@@ -531,10 +536,15 @@ def _packed_bwd_impl(qkv, bias, scale, H, g, interpret=False):
 
     db_B = bb if bb > 1 else 1
     db_H = bh  # per-head rows (the packed path is for rel-pos bias, bh == H)
+    # dq/dk/dv are written once per cell (disjoint windows, no accumulation):
+    # emit them at input dtype straight from the kernel — bit-identical to
+    # writing f32 and casting after (the in-kernel astype does the same
+    # rounding) but halves the dq/dk/dv HBM writes and kills the convert
+    # pass. db stays f32: it ACCUMULATES across grid cells.
     out_shapes = [
-        jax.ShapeDtypeStruct((B, Np, C), jnp.float32),   # dq
-        jax.ShapeDtypeStruct((B, Np, C), jnp.float32),   # dk
-        jax.ShapeDtypeStruct((B, Np, C), jnp.float32),   # dv
+        jax.ShapeDtypeStruct((B, Np, C), qkv.dtype),     # dq
+        jax.ShapeDtypeStruct((B, Np, C), qkv.dtype),     # dk
+        jax.ShapeDtypeStruct((B, Np, C), qkv.dtype),     # dv
         jax.ShapeDtypeStruct((db_B, db_H, bqs, Np), jnp.float32),
     ]
     out_specs = [gspec, gspec, gspec, bspec]
@@ -549,8 +559,7 @@ def _packed_bwd_impl(qkv, bias, scale, H, g, interpret=False):
         interpret=interpret,
     )(qkv_p, qkv_p, qkv_p, gp, bias_p)
 
-    dqkv = jnp.concatenate([o[:, :N] for o in outs[:3]],
-                           axis=-1).astype(qkv.dtype)
+    dqkv = jnp.concatenate([o[:, :N] for o in outs[:3]], axis=-1)
     db = outs[3][:, :, : (N if bq > 1 else 1), :N]
     return dqkv, db
 
