@@ -118,3 +118,22 @@ def test_pipeline_raw_apply_identity_stage():
         ref = jnp.tanh(ref + w[s])
     np.testing.assert_allclose(np.asarray(ys), np.asarray(ref), rtol=2e-6,
                                atol=2e-6)
+
+
+def test_task_path_rejects_pipe_axis(tmp_path):
+    """Task entrypoints shard over data/fsdp/tensor only; `parallel.pipe > 1`
+    would silently replicate the whole step across pipe groups under GSPMD,
+    so TaskContext refuses it with a pointer to core.pipeline."""
+    import argparse
+
+    import yaml
+
+    from xfm_tpu.tasks.common import TaskContext
+
+    cfg = {"parallel": {"data": -1, "pipe": 2}}
+    p = tmp_path / "cfg.yaml"
+    p.write_text(yaml.safe_dump(cfg))
+    args = argparse.Namespace(config=str(p), output_dir=str(tmp_path / "o"),
+                              bs=None, epoch=None, seed=0)
+    with pytest.raises(ValueError, match="pipe"):
+        TaskContext.from_args(args)

@@ -43,6 +43,17 @@ class TaskContext:
         if getattr(args, "epoch", None):
             sch = cfg.setdefault("schedular", {})
             sch["epochs"] = args.epoch
+        if int((cfg.get("parallel", {}) or {}).get("pipe", 1)) > 1:
+            # The pipe mesh axis is consumed by core.pipeline tower staging
+            # (GPipe over shard_map); the task entrypoints shard over
+            # data/fsdp/tensor only, so under GSPMD a pipe>1 group would
+            # replicate the whole step — correct but pipe-times wasteful.
+            # Refuse rather than silently burn devices (docs/SCALING.md).
+            raise ValueError(
+                "parallel.pipe > 1 is not consumed by the task entrypoints "
+                "(X-FM towers are 12-24 layers; dp/fsdp/tensor cover them). "
+                "Pipeline the layer stack explicitly via core.pipeline."
+            )
         mesh = mesh_from_config(cfg)
         out = getattr(args, "output_dir", "output")
         os.makedirs(out, exist_ok=True)
