@@ -258,3 +258,55 @@ def test_vqa_end_to_end(tmp_path):
     assert isinstance(out, dict) and "vqa_acc_exact" in out
     assert 0.0 <= out["vqa_acc_exact"] <= 1.0
     assert os.path.exists(out["result_file"])
+
+
+@pytest.mark.slow
+def test_retrieval_evaluate_only(tmp_path):
+    """`--evaluate` runs zero-shot eval and returns without training
+    (reference Retrieval.py --evaluate semantics)."""
+    names = write_images(tmp_path, 6)
+    test_ann = [{"image": n, "caption": [f"a photo of thing {i}"]}
+                for i, n in enumerate(names)]
+    (tmp_path / "test.json").write_text(json.dumps(test_ann))
+    cfg = dict(tiny_model_keys(), test_file=str(tmp_path / "test.json"),
+               image_root=str(tmp_path), batch_size_test=6, k_test=4,
+               max_tokens=12,
+               schedular={"sched": "linear", "lr": 1e-3, "epochs": 1,
+                          "num_warmup_steps": 0},
+               optimizer={"lr": 1e-3, "weight_decay": 0.01})
+    cfg_path = tmp_path / "ret_eval.yaml"
+    yaml.safe_dump(cfg, open(cfg_path, "w"))
+
+    from xfm_tpu.tasks import retrieval
+
+    args = make_args(cfg_path, tmp_path / "out")
+    args.evaluate = True
+    metrics = retrieval.main(args)
+    assert "r_mean" in metrics
+    # no training artifacts: evaluate-only must not write epoch checkpoints
+    assert not os.path.exists(tmp_path / "out" / "ckpt")
+
+
+@pytest.mark.slow
+def test_nlvr_evaluate_only(tmp_path):
+    names = write_images(tmp_path, 4)
+    ann = [{"images": [names[i], names[(i + 1) % 4]],
+            "sentence": f"the pair number {i} matches",
+            "label": "True" if i % 2 == 0 else "False"}
+           for i in range(4)]
+    (tmp_path / "nlvr.json").write_text(json.dumps(ann))
+    cfg = dict(tiny_model_keys(), val_file=str(tmp_path / "nlvr.json"),
+               test_file=str(tmp_path / "nlvr.json"),
+               image_root=str(tmp_path), batch_size=2, max_tokens=12,
+               schedular={"sched": "linear", "lr": 1e-3, "epochs": 1,
+                          "num_warmup_steps": 0},
+               optimizer={"lr": 1e-3, "weight_decay": 0.01})
+    cfg_path = tmp_path / "nlvr_eval.yaml"
+    yaml.safe_dump(cfg, open(cfg_path, "w"))
+
+    from xfm_tpu.tasks import nlvr
+
+    args = make_args(cfg_path, tmp_path / "out")
+    args.evaluate = True
+    metrics = nlvr.main(args)
+    assert 0.0 <= metrics["acc"] <= 1.0
