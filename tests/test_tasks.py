@@ -310,3 +310,34 @@ def test_nlvr_evaluate_only(tmp_path):
     args.evaluate = True
     metrics = nlvr.main(args)
     assert 0.0 <= metrics["acc"] <= 1.0
+
+
+@pytest.mark.slow
+def test_vqa_evaluate_only(tmp_path):
+    """VQA `--evaluate`: ranks the answer list, writes the result json, and
+    computes accuracy from gt — no training (reference VQA.py --evaluate)."""
+    names = write_images(tmp_path, 4)
+    answers = ["yes", "no"]
+    test_ann = [{"image": n, "question": f"is thing {i} there",
+                 "question_id": i, "answer": answers[i % 2],
+                 "dataset": "vqa"} for i, n in enumerate(names)]
+    (tmp_path / "test.json").write_text(json.dumps(test_ann))
+    (tmp_path / "answer_list.json").write_text(json.dumps(answers))
+    cfg = dict(tiny_model_keys(), test_file=str(tmp_path / "test.json"),
+               answer_list=str(tmp_path / "answer_list.json"),
+               vqa_root=str(tmp_path), vg_root=str(tmp_path),
+               batch_size_test=2, k_test=2, num_dec_layers=2,
+               decoder_fusion_start_at=0,
+               schedular={"sched": "linear", "lr": 1e-3, "epochs": 1,
+                          "num_warmup_steps": 0},
+               optimizer={"lr": 1e-3, "weight_decay": 0.01})
+    cfg_path = tmp_path / "vqa_eval.yaml"
+    yaml.safe_dump(cfg, open(cfg_path, "w"))
+
+    from xfm_tpu.tasks import vqa
+
+    args = make_args(cfg_path, tmp_path / "out")
+    args.evaluate = True
+    out = vqa.main(args)
+    assert isinstance(out, dict) and os.path.exists(out["result_file"])
+    assert 0.0 <= out["vqa_acc_exact"] <= 1.0
