@@ -341,3 +341,29 @@ def test_vqa_evaluate_only(tmp_path):
     out = vqa.main(args)
     assert isinstance(out, dict) and os.path.exists(out["result_file"])
     assert 0.0 <= out["vqa_acc_exact"] <= 1.0
+
+
+@pytest.mark.slow
+def test_captioning_evaluate_only(tmp_path):
+    """Captioning `--evaluate`: generate, write caption_result json, score —
+    no training (reference Captioning.py --evaluate)."""
+    names = write_images(tmp_path, 4)
+    val = [{"image": n, "caption": [f"a photo of item {i}"],
+            "image_id": i} for i, n in enumerate(names)]
+    (tmp_path / "val.json").write_text(json.dumps(val))
+    cfg = dict(tiny_model_keys(), val_file=str(tmp_path / "val.json"),
+               image_root=str(tmp_path), batch_size_test=4, max_tokens=12,
+               max_length=6, num_dec_layers=2, decoder_fusion_start_at=0,
+               schedular={"sched": "linear", "lr": 1e-3, "epochs": 1,
+                          "num_warmup_steps": 0},
+               optimizer={"lr": 1e-3, "weight_decay": 0.01})
+    cfg_path = tmp_path / "cap_eval.yaml"
+    yaml.safe_dump(cfg, open(cfg_path, "w"))
+
+    from xfm_tpu.tasks import captioning
+
+    args = make_args(cfg_path, tmp_path / "out")
+    args.evaluate = True
+    metrics = captioning.main(args)
+    assert "CIDEr" in metrics
+    assert not os.path.exists(tmp_path / "out" / "ckpt")
