@@ -367,3 +367,48 @@ def test_captioning_evaluate_only(tmp_path):
     metrics = captioning.main(args)
     assert "CIDEr" in metrics
     assert not os.path.exists(tmp_path / "out" / "ckpt")
+
+
+@pytest.mark.slow
+def test_imagenet_end_to_end(tmp_path):
+    """Imagenet classify task e2e (reference Imagenet.py): jsonl manifest,
+    mixup/cutmix soft targets, half-cosine schedule, per-epoch eval."""
+    names = write_images(tmp_path, 8)
+    man = "\n".join(json.dumps({"image": n, "label": i % 2})
+                    for i, n in enumerate(names))
+    (tmp_path / "train.jsonl").write_text(man)
+    (tmp_path / "val.jsonl").write_text(man)
+    cfg = dict(tiny_model_keys(), train_root=str(tmp_path / "train.jsonl"),
+               val_root=str(tmp_path / "val.jsonl"),
+               image_root=str(tmp_path), batch_size=4,
+               schedular={"epochs": 1}, warmup_epochs=0,
+               optimizer={"lr": 1e-3, "weight_decay": 0.05})
+    cfg_path = tmp_path / "in.yaml"
+    yaml.safe_dump(cfg, open(cfg_path, "w"))
+
+    from xfm_tpu.tasks import imagenet
+
+    metrics = imagenet.main(make_args(cfg_path, tmp_path / "out"))
+    assert 0.0 <= metrics["best_acc1"] <= 1.0
+
+
+@pytest.mark.slow
+def test_imagenet_evaluate_only(tmp_path):
+    names = write_images(tmp_path, 4)
+    man = "\n".join(json.dumps({"image": n, "label": i % 2})
+                    for i, n in enumerate(names))
+    (tmp_path / "val.jsonl").write_text(man)
+    cfg = dict(tiny_model_keys(), train_root=str(tmp_path / "val.jsonl"),
+               val_root=str(tmp_path / "val.jsonl"),
+               image_root=str(tmp_path), batch_size=4,
+               schedular={"epochs": 1}, warmup_epochs=0,
+               optimizer={"lr": 1e-3, "weight_decay": 0.05})
+    cfg_path = tmp_path / "in_eval.yaml"
+    yaml.safe_dump(cfg, open(cfg_path, "w"))
+
+    from xfm_tpu.tasks import imagenet
+
+    args = make_args(cfg_path, tmp_path / "out")
+    args.evaluate = True
+    metrics = imagenet.main(args)
+    assert 0.0 <= metrics["acc1"] <= 1.0
