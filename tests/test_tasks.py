@@ -412,3 +412,58 @@ def test_imagenet_evaluate_only(tmp_path):
     args.evaluate = True
     metrics = imagenet.main(args)
     assert 0.0 <= metrics["acc1"] <= 1.0
+
+
+@pytest.mark.slow
+def test_classify_end_to_end(tmp_path):
+    """Generic classify stream e2e — fused image+text classification
+    (reference Classify.py, with its broken imports fixed)."""
+    names = write_images(tmp_path, 6)
+    rows = "\n".join(json.dumps({"image": n, "text": f"sample {i}",
+                                 "label": i % 2})
+                     for i, n in enumerate(names))
+    (tmp_path / "cls.jsonl").write_text(rows)
+    cfg = dict(tiny_model_keys(), train_file=str(tmp_path / "cls.jsonl"),
+               val_file=str(tmp_path / "cls.jsonl"),
+               image_root=str(tmp_path), batch_size=3, max_tokens=12,
+               num_labels=2,
+               schedular={"sched": "linear", "lr": 1e-3, "epochs": 1,
+                          "num_warmup_steps": 0},
+               optimizer={"lr": 1e-3, "weight_decay": 0.01})
+    cfg_path = tmp_path / "cls.yaml"
+    yaml.safe_dump(cfg, open(cfg_path, "w"))
+
+    from xfm_tpu.tasks import classify
+
+    metrics = classify.main(make_args(cfg_path, tmp_path / "out"))
+    assert 0.0 <= metrics["best_acc"] <= 1.0
+
+    args = make_args(cfg_path, tmp_path / "out2")
+    args.evaluate = True
+    m = classify.main(args)
+    assert 0.0 <= m["acc"] <= 1.0
+
+
+@pytest.mark.slow
+def test_infer_caption_bulk(tmp_path):
+    """Bulk caption inference over an image dir writes captions.json
+    (reference run_infer_caption.py; fixed: the reference's
+    create_dataset('infer_caption') has no branch)."""
+    img_dir = tmp_path / "imgs"
+    img_dir.mkdir()
+    write_images(img_dir, 3)
+    cfg = dict(tiny_model_keys(), image_dir=str(img_dir),
+               batch_size_test=2, max_length=5, num_dec_layers=2,
+               decoder_fusion_start_at=0, image_res=32,
+               schedular={"sched": "linear", "lr": 1e-3, "epochs": 1,
+                          "num_warmup_steps": 0},
+               optimizer={"lr": 1e-3, "weight_decay": 0.01})
+    cfg_path = tmp_path / "infer.yaml"
+    yaml.safe_dump(cfg, open(cfg_path, "w"))
+
+    from xfm_tpu.tasks import captioning
+
+    results = captioning.main_infer(make_args(cfg_path, tmp_path / "out"))
+    assert len(results) == 3
+    assert all("caption" in r and "image" in r for r in results)
+    assert os.path.exists(tmp_path / "out" / "captions.json")
