@@ -467,3 +467,19 @@ def test_infer_caption_bulk(tmp_path):
     assert len(results) == 3
     assert all("caption" in r and "image" in r for r in results)
     assert os.path.exists(tmp_path / "out" / "captions.json")
+
+
+def test_run_cli_dispatch_table():
+    """run.py accepts exactly the reference's 11 task names
+    (reference run.py:289-339)."""
+    import importlib.util
+
+    spec = importlib.util.spec_from_file_location(
+        "xfm_run", os.path.join(os.path.dirname(os.path.dirname(
+            os.path.abspath(__file__))), "run.py"))
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+    expected = {"pretrain_DIY", "infer_caption", "itr_coco", "itr_flickr",
+                "vqa", "nlvr", "refcoco_bbox", "glue", "imagenet",
+                "coco_captioning", "classify"}
+    assert set(mod.TASKS) == expected
