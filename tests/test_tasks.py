@@ -483,3 +483,26 @@ def test_run_cli_dispatch_table():
                 "vqa", "nlvr", "refcoco_bbox", "glue", "imagenet",
                 "coco_captioning", "classify"}
     assert set(mod.TASKS) == expected
+
+
+@pytest.mark.slow
+def test_grounding_evaluate_only(tmp_path):
+    names = write_images(tmp_path, 4)
+    ann = [{"image": n, "text": f"the region {i}",
+            "bbox": [4, 4, 20, 20], "ref_id": i}
+           for i, n in enumerate(names)]
+    (tmp_path / "g.json").write_text(json.dumps(ann))
+    cfg = dict(tiny_model_keys(), test_file=str(tmp_path / "g.json"),
+               image_root=str(tmp_path), batch_size=2, max_tokens=12,
+               schedular={"sched": "linear", "lr": 1e-3, "epochs": 1,
+                          "num_warmup_steps": 0},
+               optimizer={"lr": 1e-3, "weight_decay": 0.01})
+    cfg_path = tmp_path / "g_eval.yaml"
+    yaml.safe_dump(cfg, open(cfg_path, "w"))
+
+    from xfm_tpu.tasks import grounding
+
+    args = make_args(cfg_path, tmp_path / "out")
+    args.evaluate = True
+    metrics = grounding.main(args)
+    assert 0.0 <= metrics["iou50_acc"] <= 1.0

@@ -168,12 +168,14 @@ def main(args, config: Optional[dict] = None):
     sched = linear_warmup_decay(float(cfg.get("learning_rate", 5e-5)), total,
                                 cfg.get("num_warmup_steps", 0))
 
-    example = next(batches(train_ex, tokenize, bsz, regression))
+    # init needs only shapes — a real train batch here made `--evaluate` on a
+    # train split smaller than one global batch crash before evaluating
+    T = cfg.get("max_length", 128)
 
     def init_params():
         return model.init({"params": jax.random.PRNGKey(ctx.seed)},
-                          text_ids=jnp.asarray(example["text_ids"]),
-                          text_atts=jnp.asarray(example["text_atts"]),
+                          text_ids=jnp.ones((2, T), jnp.int32),
+                          text_atts=jnp.ones((2, T), jnp.int32),
                           method=XFMForClassification.init_all)["params"]
 
     from ..core.partitioning import param_shardings
