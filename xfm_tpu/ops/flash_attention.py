@@ -363,40 +363,48 @@ def _fused_attention_bwd_impl(q, k, v, bias, scale, g, interpret=False):
 
 
 def _packed_fwd_kernel(qkv_q, qkv_k, qkv_v, b_ref, o_ref, *, scale,
-                       nk_valid, hpb, D, G):
+                       nk_valid, hpb, D, G, nq):
+    # q rows beyond `nq` (valid rows sublane-rounded) are zero padding whose
+    # outputs are sliced away by the caller — skip their score/softmax/PV
+    # work entirely (197-patch vision: 256 → 208 computed rows).
     for g in range(G):
         for j in range(hpb):
             sl = slice(j * D, (j + 1) * D)
-            q = qkv_q[g, :, sl].astype(jnp.float32) * scale  # [blk_q, D]
-            k = qkv_k[g, :, sl]                              # [Nkp, D]
+            q = qkv_q[g, 0:nq, sl].astype(jnp.float32) * scale  # [nq, D]
+            k = qkv_k[g, :, sl]                                 # [Nkp, D]
             s = jax.lax.dot_general(q.astype(k.dtype), k,
                                     (((1,), (1,)), ((), ())),
                                     preferred_element_type=jnp.float32)
-            s = s + b_ref[0, j].astype(jnp.float32)
+            b = b_ref[0, j]
+            s = s + (b[0:nq] if b.shape[0] > 1 else b).astype(jnp.float32)
             s = _mask_pad(s, nk_valid)
             p = _softmax(s)
             v = qkv_v[g, :, sl]
             o = jax.lax.dot_general(p.astype(v.dtype), v,
                                     (((1,), (0,)), ((), ())),
                                     preferred_element_type=jnp.float32)
-            o_ref[g, :, sl] = o.astype(o_ref.dtype)
+            o_ref[g, 0:nq, sl] = o.astype(o_ref.dtype)
 
 
 def _packed_bwd_kernel(qkv_q, qkv_k, qkv_v, do_ref, b_ref, dq_ref, dk_ref,
                        dv_ref, db_ref, *, scale, nk_valid, hpb, D, G,
-                       db_init_axis0):
+                       db_init_axis0, nq):
+    # Rows beyond `nq` are zero padding: their dO is zero, so they contribute
+    # nothing to dk/dv/db and their dq is sliced away — compute only the
+    # valid (sublane-rounded) q rows.
     for g in range(G):
         for j in range(hpb):
             sl = slice(j * D, (j + 1) * D)
-            q = qkv_q[g, :, sl]
+            q = qkv_q[g, 0:nq, sl]
             k = qkv_k[g, :, sl]
             v = qkv_v[g, :, sl]
-            do = do_ref[g, :, sl].astype(jnp.float32)
+            do = do_ref[g, 0:nq, sl].astype(jnp.float32)
 
             qs = (q.astype(jnp.float32) * scale).astype(q.dtype)
             s = jax.lax.dot_general(qs, k, (((1,), (1,)), ((), ())),
                                     preferred_element_type=jnp.float32)
-            s = s + b_ref[0, j].astype(jnp.float32)
+            b = b_ref[0, j]
+            s = s + (b[0:nq] if b.shape[0] > 1 else b).astype(jnp.float32)
             s = _mask_pad(s, nk_valid)
             p = _softmax(s)
 
@@ -415,7 +423,7 @@ def _packed_bwd_kernel(qkv_q, qkv_k, qkv_v, do_ref, b_ref, dq_ref, dk_ref,
             dk = jax.lax.dot_general(dsb, qs, (((0,), (0,)), ((), ())),
                                      preferred_element_type=jnp.float32)
 
-            dq_ref[g, :, sl] = dq.astype(dq_ref.dtype)
+            dq_ref[g, 0:nq, sl] = dq.astype(dq_ref.dtype)
             dk_ref[g, :, sl] = dk.astype(dk_ref.dtype)
             dv_ref[g, :, sl] = dv.astype(dv_ref.dtype)
 
@@ -427,7 +435,9 @@ def _packed_bwd_kernel(qkv_q, qkv_k, qkv_v, do_ref, b_ref, dq_ref, dk_ref,
             def _():
                 db_ref[0, j] = jnp.zeros_like(db_ref[0, j])
 
-            db_ref[0, j] += ds.astype(db_ref.dtype)
+            # packed path implies rel-pos bias: full q rows (bq > 1), so the
+            # db block has `nq`-addressable rows; the padded tail stays zero.
+            db_ref[0, j, 0:nq] += ds.astype(db_ref.dtype)
 
 
 def _pick_g(B: int, Np: int, bwd: bool = False) -> int:
@@ -482,7 +492,10 @@ def _packed_fwd_impl(qkv, bias, scale, H, interpret=False):
     C, D, hpb, Np, Nkp = _packed_shapes(B, N, C3, H, qkv.dtype)
     # pad N to both the sublane multiple and the kv lane multiple: scores
     # matrices want Nk padded to 128; q rows only need sublane alignment,
-    # but a single padded length keeps one input buffer.
+    # but a single padded length keeps one input buffer. The kernel still
+    # computes only `nq` q rows (the sublane-rounded valid count) — at
+    # N=197 that trims every score/softmax/PV row block 256 → 208.
+    nq = Np
     Np = max(Np, Nkp)
     qkv_p = jnp.pad(qkv, ((0, 0), (0, Np - N), (0, 0)))
 
@@ -503,7 +516,7 @@ def _packed_fwd_impl(qkv, bias, scale, H, interpret=False):
 
     out = pl.pallas_call(
         functools.partial(_packed_fwd_kernel, scale=scale, nk_valid=N,
-                          hpb=hpb, D=D, G=G),
+                          hpb=hpb, D=D, G=G, nq=nq),
         grid=grid,
         in_specs=in_specs + [bspec],
         out_specs=ospec,
@@ -516,6 +529,7 @@ def _packed_fwd_impl(qkv, bias, scale, H, interpret=False):
 def _packed_bwd_impl(qkv, bias, scale, H, g, interpret=False):
     B, N, C3 = qkv.shape
     C, D, hpb, Np, Nkp = _packed_shapes(B, N, C3, H, qkv.dtype)
+    nq = Np
     Np = max(Np, Nkp)
     qkv_p = jnp.pad(qkv, ((0, 0), (0, Np - N), (0, 0)))
     gp = jnp.pad(g, ((0, 0), (0, Np - N), (0, 0)))
@@ -551,7 +565,7 @@ def _packed_bwd_impl(qkv, bias, scale, H, g, interpret=False):
 
     outs = pl.pallas_call(
         functools.partial(_packed_bwd_kernel, scale=scale, nk_valid=N,
-                          hpb=hpb, D=D, G=G, db_init_axis0=False),
+                          hpb=hpb, D=D, G=G, db_init_axis0=False, nq=nq),
         grid=grid,
         in_specs=in_specs + [gspec, bspec],
         out_specs=out_specs,
