@@ -93,8 +93,19 @@ def rouge_l(hypos: Dict[str, str], refs: Dict[str, List[str]],
 
 
 def coco_caption_eval(hypos: Dict[str, str],
-                      refs: Dict[str, List[str]]) -> dict:
+                      refs: Dict[str, List[str]],
+                      tokenize: bool = True) -> dict:
     from .meteor import meteor
+
+    if tokenize:
+        # pycocoevalcap runs both sides through the Stanford PTBTokenizer
+        # (lowercase + PTB splits + punctuation removal) before any metric
+        # (refTools/evaluation/refEvaluation.py:40-42); eval/ptb_tokenizer.py
+        # reproduces that normalization.
+        from .ptb_tokenizer import ptb_tokenize
+        hypos = {k: v[0] for k, v in
+                 ptb_tokenize({k: [h] for k, h in hypos.items()}).items()}
+        refs = ptb_tokenize(refs)
 
     out = bleu(hypos, refs)
     cider_mean, _ = CiderD(refs).score(hypos)
