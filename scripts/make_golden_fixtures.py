@@ -145,13 +145,13 @@ def install_stubs():
     })
 
 
-def seed_weights(model, seed):
+def seed_weights(model, seed, exclude=(), std=0.02):
     g = torch.Generator().manual_seed(seed)
     sd = model.state_dict()
     for k in sorted(sd):
         t = sd[k]
-        if t.dtype.is_floating_point:
-            sd[k] = torch.randn(t.shape, generator=g) * 0.02
+        if t.dtype.is_floating_point and not any(e in k for e in exclude):
+            sd[k] = torch.randn(t.shape, generator=g) * std
     model.load_state_dict(sd)
     return model
 
@@ -181,6 +181,119 @@ def make_beit():
         **{f"sd::{k}": v.numpy() for k, v in m.state_dict().items()},
     )
     print("beit2 fixture:", out.shape)
+
+
+def make_clip_vit():
+    """Reference CLIP-ViT tower (models/clip_vit.py:310-360) at tiny size,
+    quick_gelu like the shipped configs/model/config_clipvitB.json."""
+    from models.clip_vit import CLIPVisionTransformer
+
+    torch.manual_seed(0)
+    m = CLIPVisionTransformer(
+        image_size=32, patch_size=8, hidden_size=24, hidden_act="quick_gelu",
+        num_attention_heads=2, attention_dropout=0.0, intermediate_size=48,
+        num_hidden_layers=2, local_attn_depth=0)
+    seed_weights(m, 5)
+    m.eval()
+    x = torch.from_numpy(
+        np.random.RandomState(6).randn(2, 3, 32, 32).astype(np.float32))
+    with torch.no_grad():
+        out = m(x)  # [B, 1+N, C] after post_layernorm
+    np.savez(
+        os.path.join(OUT, "golden_clip_vit.npz"),
+        images=x.numpy(), out=out.numpy(),
+        **{f"sd::{k}": v.numpy() for k, v in m.state_dict().items()},
+    )
+    print("clip_vit fixture:", out.shape)
+
+
+def make_swin():
+    """Reference Swin (models/swin_transformer.py:460-583) tiny 2-stage with
+    a shifted block in stage 0; output is [avgpool-cls ‖ patches]."""
+    from models.swin_transformer import SwinTransformer
+
+    torch.manual_seed(0)
+    m = SwinTransformer(
+        img_size=32, patch_size=4, in_chans=3, num_classes=0, embed_dim=16,
+        depths=[2, 2], num_heads=[2, 4], window_size=4, drop_path_rate=0.0,
+        ape=False, patch_norm=True)
+    # attn_mask / relative_position_index are structural buffers — keep
+    seed_weights(m, 7, exclude=("attn_mask", "relative_position_index"))
+    m.eval()
+    x = torch.from_numpy(
+        np.random.RandomState(8).randn(2, 3, 32, 32).astype(np.float32))
+    with torch.no_grad():
+        out = m(x)
+    np.savez(
+        os.path.join(OUT, "golden_swin.npz"),
+        images=x.numpy(), out=out.numpy(),
+        **{f"sd::{k}": v.numpy() for k, v in m.state_dict().items()},
+    )
+    print("swin fixture:", out.shape)
+
+
+def make_vqkd():
+    """Reference VQ-KD tokenizer (models/model_vqkd.py) tiny: encoder →
+    encode_task_layer → NormEMA quantizer. encode() is called directly so
+    the fixture pins the tokenizer math itself, independent of the
+    pre_process input-domain quirk (models/model_vqkd.py:125-136; see
+    MIGRATING.md on the normalized-input contract)."""
+    from functools import partial
+
+    import torch.nn as nn
+    from models.model_vqkd import VQKD
+
+    def cfg(**kw):
+        base = dict(img_size=32, patch_size=16, in_chans=3, num_classes=0,
+                    embed_dim=32, depth=1, num_heads=2, mlp_ratio=4.0,
+                    qkv_bias=True, qk_scale=None, drop_rate=0.0,
+                    attn_drop_rate=0.0, drop_path_rate=0.0,
+                    norm_layer=partial(nn.LayerNorm, eps=1e-6),
+                    init_values=0.0, use_abs_pos_emb=True,
+                    use_rel_pos_bias=False, use_shared_rel_pos_bias=False,
+                    use_mean_pooling=True, init_scale=0.001)
+        base.update(kw)
+        return base
+
+    torch.manual_seed(0)
+    m = VQKD(cfg(), cfg(img_size=2, patch_size=1, in_chans=8),
+             n_embed=16, embed_dim=8, teacher_model_type="None",
+             quantize_kmeans_init=False)
+    # std 0.1: at 0.02 the task-layer output is nearly constant across
+    # patches and every patch maps to one code — a degenerate argmin test
+    seed_weights(m, 9, exclude=("quantize.",), std=0.1)
+    m.eval()
+    x = torch.from_numpy(
+        np.random.RandomState(11).randn(2, 3, 32, 32).astype(np.float32))
+    # deterministic codebook seeded AROUND the actual z rows (perturbed)
+    # so the nearest-code assignment actually discriminates patches —
+    # a random codebook collapses to one argmin for every patch
+    g = torch.Generator().manual_seed(10)
+    with torch.no_grad():
+        z0 = m.encode_task_layer(m.encoder(x, return_patch_tokens=True))
+        zf = z0.reshape(-1, 8)
+        zf = zf / zf.norm(dim=-1, keepdim=True)
+        w = torch.cat([zf + 0.2 * torch.randn(8, 8, generator=g),
+                       torch.randn(8, 8, generator=g)])
+        w = w / w.norm(dim=-1, keepdim=True)
+        m.quantize.embedding.weight.copy_(w)
+        m.quantize.embedding.embed_avg.copy_(w)
+        m.quantize.embedding.cluster_size.zero_()
+        m.quantize.embedding.initted.fill_(1.0)
+        m.quantize.cluster_size.zero_()
+    with torch.no_grad():
+        # pin the pre-quantizer z as well to localize any mismatch
+        ef = m.encoder(x, return_patch_tokens=True)
+        z = m.encode_task_layer(ef)
+        quant, ids, _ = m.encode(x)
+    np.savez(
+        os.path.join(OUT, "golden_vqkd.npz"),
+        images=x.numpy(), z=z.numpy(),
+        ids=ids.reshape(2, -1).numpy(),
+        zq=quant.flatten(2).transpose(1, 2).numpy(),  # b c h w -> b (hw) c
+        **{f"sd::{k}": v.numpy() for k, v in m.state_dict().items()},
+    )
+    print("vqkd fixture ids:", ids.reshape(2, -1).numpy().tolist())
 
 
 def make_roberta():
@@ -457,6 +570,9 @@ def main():
     make_roberta()
     make_xfm_losses()
     make_decode()
+    make_clip_vit()
+    make_swin()
+    make_vqkd()
 
 
 if __name__ == "__main__":

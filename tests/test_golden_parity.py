@@ -235,3 +235,76 @@ def test_greedy_decode_matches_reference():
     np.testing.assert_array_equal(seq, io["seq"])
     np.testing.assert_allclose(np.stack(step_logits, axis=1),
                                io["step_logits"], atol=5e-4, rtol=1e-3)
+
+
+def test_clip_vit_forward_matches_reference():
+    """CLIP-ViT tower vs reference models/clip_vit.py:310-360 (quick_gelu,
+    pre-LN blocks, post_layernorm over all tokens)."""
+    from xfm_tpu.models.clip_vit import ClipVisionConfig, ClipVisionTransformer
+    from xfm_tpu.train.checkpoint import import_clip_vit, merge_params, to_jax
+
+    sd, io = load_fixture("golden_clip_vit.npz")
+    cfg = ClipVisionConfig(image_res=32, patch_size=8, hidden_size=24,
+                           num_hidden_layers=2, num_attention_heads=2,
+                           intermediate_size=48, hidden_act="quick_gelu")
+    m = ClipVisionTransformer(cfg)
+    images = jnp.asarray(io["images"].transpose(0, 2, 3, 1))
+    init = m.init(jax.random.PRNGKey(0), images)["params"]
+    params, missing, _ = merge_params(init, to_jax(import_clip_vit(sd, cfg)))
+    assert not missing, missing
+    out = m.apply({"params": params}, images)
+    np.testing.assert_allclose(np.asarray(out), io["out"], atol=2e-4,
+                               rtol=1e-3)
+
+
+def test_swin_forward_matches_reference():
+    """Swin tower vs reference models/swin_transformer.py:460-583 — tiny
+    2-stage config with an actually-shifted block in stage 0; pins window
+    partition/shift masks, rel-pos tables, patch merging, avgpool readout."""
+    from xfm_tpu.models.swin import SwinConfig, SwinTransformer
+    from xfm_tpu.train.checkpoint import import_swin, merge_params, to_jax
+
+    sd, io = load_fixture("golden_swin.npz")
+    cfg = SwinConfig(image_res=32, patch_size=4, embed_dim=16,
+                     depths=(2, 2), num_heads=(2, 4), window_size=4,
+                     drop_path_rate=0.0)
+    m = SwinTransformer(cfg)
+    images = jnp.asarray(io["images"].transpose(0, 2, 3, 1))
+    init = m.init(jax.random.PRNGKey(0), images)["params"]
+    params, missing, _ = merge_params(init, to_jax(import_swin(sd, cfg)))
+    assert not missing, missing
+    out = m.apply({"params": params}, images)
+    np.testing.assert_allclose(np.asarray(out), io["out"], atol=2e-4,
+                               rtol=1e-3)
+
+
+def test_vqkd_tokenizer_matches_reference():
+    """VQ-KD tokenizer vs reference models/model_vqkd.py encode():
+    encoder -> fp32 tanh task layer -> NormEMA nearest-code assignment.
+    Pins the pre-quantizer z, the code ids, and the quantized vectors."""
+    from xfm_tpu.models.vqkd import VQKD, vqkd_config_from_yaml
+    from xfm_tpu.train.checkpoint import (import_vqkd_checkpoint,
+                                          merge_params, to_jax)
+
+    sd, io = load_fixture("golden_vqkd.npz")
+    cfg = vqkd_config_from_yaml(
+        {"tokenizer_model": "vqkd_encoder_base_decoder_1x768x12_clip",
+         "image_res": 32, "patch_size": 16, "tokenizer_embed_dim": 32,
+         "tokenizer_depth": 1, "tokenizer_num_heads": 2,
+         "codebook_size": 16, "codebook_dim": 8})
+    m = VQKD(cfg)
+    images = jnp.asarray(io["images"].transpose(0, 2, 3, 1))
+    vars0 = m.init({"params": jax.random.PRNGKey(0)}, images,
+                   method=VQKD.get_codebook_indices)
+    imported = to_jax(import_vqkd_checkpoint(sd, cfg))
+    params, missing, _ = merge_params(dict(vars0["params"]),
+                                      imported["params"])
+    assert not [k for k in missing if "decoder" not in k
+                and "mask_token" not in k], missing
+    variables = {"params": params, "vq_stats": imported["vq_stats"]}
+
+    z = m.apply(variables, images, method=VQKD._encode_z)
+    np.testing.assert_allclose(np.asarray(z), io["z"], atol=2e-4, rtol=1e-3)
+
+    ids = m.apply(variables, images, method=VQKD.get_codebook_indices)
+    np.testing.assert_array_equal(np.asarray(ids), io["ids"])

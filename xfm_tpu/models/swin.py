@@ -161,7 +161,11 @@ class PatchMerging(nn.Module):
         H, W = self.resolution
         B, L, C = x.shape
         x = x.reshape(B, H // 2, 2, W // 2, 2, C)
-        x = x.transpose(0, 1, 3, 2, 4, 5).reshape(B, (H // 2) * (W // 2),
+        # channel order must be (0,0),(1,0),(0,1),(1,1) — the reference
+        # concatenates [x0, x1, x2, x3] with x1 = x[:,1::2,0::2] (row offset
+        # first; models/swin_transformer.py:321-325), so dw varies slower
+        # than dh; imported reduction weights depend on this order
+        x = x.transpose(0, 1, 3, 4, 2, 5).reshape(B, (H // 2) * (W // 2),
                                                   4 * C)
         x = nn.LayerNorm(epsilon=c.layer_norm_eps, name="norm",
                          dtype=c.dtype)(x)
