@@ -367,3 +367,35 @@ def test_fused_itm_mlm_matches_separate_passes():
                                              method=both)
     np.testing.assert_allclose(float(f_itm), float(s_itm), atol=1e-5)
     np.testing.assert_allclose(float(f_mlm), float(s_mlm), atol=1e-5)
+
+
+def test_beit_intermediate_layers():
+    """intermediate_layers (reference models/beit2.py:483-536): one patch
+    tensor per requested block; the last block's normalized patches equal
+    the standard forward's patch outputs."""
+    from xfm_tpu.models.beit2 import BeitVisionTransformer, VisionConfig
+
+    cfg = VisionConfig(image_res=32, patch_size=16, embed_dim=32, depth=3,
+                       num_heads=2, drop_path_rate=0.0)
+    m = BeitVisionTransformer(cfg)
+    imgs = jax.random.normal(jax.random.PRNGKey(0), (2, 32, 32, 3))
+    params = m.init(jax.random.PRNGKey(1), imgs)
+
+    outs = m.apply(params, imgs,
+                   method=BeitVisionTransformer.intermediate_layers)
+    assert len(outs) == 3
+    assert all(o.shape == (2, cfg.num_patches, 32) for o in outs)
+
+    subset = m.apply(params, imgs, layer_ids=[1],
+                     method=BeitVisionTransformer.intermediate_layers)
+    assert len(subset) == 1
+    np.testing.assert_allclose(np.asarray(subset[0]), np.asarray(outs[1]),
+                               atol=1e-6)
+
+    # fc_norm(last block patches) == forward's patch tokens
+    fc = params["params"]["fc_norm"]
+    normed = (outs[-1] - outs[-1].mean(-1, keepdims=True)) / jnp.sqrt(
+        outs[-1].var(-1, keepdims=True) + 1e-6) * fc["scale"] + fc["bias"]
+    full = m.apply(params, imgs)
+    np.testing.assert_allclose(np.asarray(normed),
+                               np.asarray(full[:, 1:, :]), atol=1e-5)

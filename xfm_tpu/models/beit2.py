@@ -323,6 +323,24 @@ class BeitVisionTransformer(nn.Module):
         pooled = jnp.mean(patches, axis=1, keepdims=True)
         return jnp.concatenate([pooled, patches], axis=1), patches
 
+    def intermediate_layers(self, images, layer_ids=None,
+                            deterministic=True):
+        """Patch-token hidden states after selected blocks (reference
+        models/beit2.py:483-536 forward_intermediate/get_intermediate_layers
+        — the distillation surface; unused by the shipped tasks but part of
+        the backbone API). Returns a list of [B, num_patches, C] arrays, one
+        per entry of ``layer_ids`` (default: every block)."""
+        x = self.embed(images, None, deterministic)
+        shared_rpb = self._shared_rpb(x.shape[1])
+        want = set(range(len(self.blocks)) if layer_ids is None
+                   else layer_ids)
+        outs = []
+        for i, blk in enumerate(self.blocks):
+            x = blk(x, shared_rpb, None, deterministic)
+            if i in want:
+                outs.append(x[:, 1:, :])
+        return outs
+
     def pair(self, images, mask, deterministic=True):
         """Full + MIM-masked forward as ONE 2B-row pass.
 
