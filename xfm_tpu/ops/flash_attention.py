@@ -440,6 +440,14 @@ def _packed_bwd_kernel(qkv_q, qkv_k, qkv_v, do_ref, b_ref, dq_ref, dk_ref,
             db_ref[0, j, 0:nq] += ds.astype(db_ref.dtype)
 
 
+def _tight_pad() -> bool:
+    # default on: +1.3% end-to-end (254.8 → 258.1 samples/s, PERF.md);
+    # XFM_PACKED_TIGHT=0 restores the 128-multiple kv padding
+    import os
+
+    return os.environ.get("XFM_PACKED_TIGHT", "1") == "1"
+
+
 def _pick_g(B: int, Np: int, bwd: bool = False) -> int:
     """Batch rows per grid cell: amortizes per-cell overhead (measured
     ~1.4 us/cell vs ~0.1 us of matmul at B-per-cell=1, PERF.md). Largest
@@ -495,8 +503,12 @@ def _packed_fwd_impl(qkv, bias, scale, H, interpret=False):
     # but a single padded length keeps one input buffer. The kernel still
     # computes only `nq` q rows (the sublane-rounded valid count) — at
     # N=197 that trims every score/softmax/PV row block 256 → 208.
+    # XFM_PACKED_TIGHT=1 keeps the buffers at the sublane-rounded length
+    # (208 at N=197): ~19% less qkv/out DMA per cell, at the cost of
+    # non-128-multiple score lanes (Mosaic masks the register tail).
     nq = Np
-    Np = max(Np, Nkp)
+    if not _tight_pad():
+        Np = max(Np, Nkp)
     qkv_p = jnp.pad(qkv, ((0, 0), (0, Np - N), (0, 0)))
 
     G = _pick_g(B, Np)
@@ -530,7 +542,8 @@ def _packed_bwd_impl(qkv, bias, scale, H, g, interpret=False):
     B, N, C3 = qkv.shape
     C, D, hpb, Np, Nkp = _packed_shapes(B, N, C3, H, qkv.dtype)
     nq = Np
-    Np = max(Np, Nkp)
+    if not _tight_pad():
+        Np = max(Np, Nkp)
     qkv_p = jnp.pad(qkv, ((0, 0), (0, Np - N), (0, 0)))
     gp = jnp.pad(g, ((0, 0), (0, Np - N), (0, 0)))
 
