@@ -243,7 +243,7 @@ def top_k_top_p_filtering(logits, top_k: int = 0, top_p: float = 1.0):
 
 def generate(model: XFMForCaptioning, variables, images, *, bos_id: int,
              eos_id: int, pad_id: int, max_len: int = 20,
-             greedy: bool = True, temperature: float = 1.0,
+             min_len: int = 0, greedy: bool = True, temperature: float = 1.0,
              top_k: int = 0, top_p: float = 1.0,
              rng: Optional[jax.Array] = None, num_return_sequences: int = 1):
     """Greedy/sampled decoding with the KV cache threaded through a
@@ -258,7 +258,7 @@ def generate(model: XFMForCaptioning, variables, images, *, bos_id: int,
         rng = jax.random.PRNGKey(0)
     return _generate_jit(model, variables["params"], images, rng,
                          bos_id=bos_id, eos_id=eos_id, pad_id=pad_id,
-                         max_len=max_len, greedy=greedy,
+                         max_len=max_len, min_len=min_len, greedy=greedy,
                          temperature=temperature, top_k=top_k, top_p=top_p,
                          num_return_sequences=num_return_sequences)
 
@@ -267,12 +267,12 @@ from functools import partial as _partial  # noqa: E402
 
 
 @_partial(jax.jit, static_argnames=("model", "bos_id", "eos_id", "pad_id",
-                                    "max_len", "greedy", "temperature",
-                                    "top_k", "top_p",
+                                    "max_len", "min_len", "greedy",
+                                    "temperature", "top_k", "top_p",
                                     "num_return_sequences"))
 def _generate_jit(model, params, images, rng, *, bos_id, eos_id, pad_id,
-                  max_len, greedy, temperature, top_k=0, top_p=1.0,
-                  num_return_sequences=1):
+                  max_len, min_len=0, greedy=True, temperature=1.0,
+                  top_k=0, top_p=1.0, num_return_sequences=1):
     variables = {"params": params}
     image_embeds = model.apply({"params": params}, images,
                                method=XFMForCaptioning.encode_images)
@@ -284,8 +284,14 @@ def _generate_jit(model, params, images, rng, *, bos_id, eos_id, pad_id,
     if rng is None:
         rng = jax.random.PRNGKey(0)
 
-    def select(logits, done, rng):
+    def select(logits, done, rng, pos):
         logits = logits.astype(jnp.float32) / temperature
+        if min_len > 0:
+            # EOS suppressed until `min_len` tokens are generated
+            # (reference HF generate min_length, models/xbert.py:1368-1391
+            # path; configs/xfm-ft/Captioning.yaml:33)
+            blocked = logits.at[..., eos_id].set(-1e9)
+            logits = jnp.where(pos < min_len, blocked, logits)
         if not greedy and (top_k > 0 or top_p < 1.0):
             logits = top_k_top_p_filtering(logits, top_k, top_p)
         logp = jax.nn.log_softmax(logits, axis=-1)
@@ -305,7 +311,7 @@ def _generate_jit(model, params, images, rng, *, bos_id, eos_id, pad_id,
         {"params": params}, bos, image_embeds, image_atts, 0,
         method=XFMForCaptioning.decode_step, mutable=["cache"])
     rng, sub = jax.random.split(rng)
-    tok0, logp0, done0 = select(logits, jnp.zeros((B,), bool), sub)
+    tok0, logp0, done0 = select(logits, jnp.zeros((B,), bool), sub, 1)
 
     def step(carry, i):
         cache, tok, done, rng = carry
@@ -314,7 +320,7 @@ def _generate_jit(model, params, images, rng, *, bos_id, eos_id, pad_id,
             image_atts, i + 1, True, True,
             method=XFMForCaptioning.decode_step, mutable=["cache"])
         rng, sub = jax.random.split(rng)
-        nxt, tok_logp, done = select(logits, done, sub)
+        nxt, tok_logp, done = select(logits, done, sub, i + 2)
         return (new_vars["cache"], nxt, done, rng), (nxt, tok_logp)
 
     init = (cache_vars["cache"], tok0, done0, rng)
@@ -326,7 +332,8 @@ def _generate_jit(model, params, images, rng, *, bos_id, eos_id, pad_id,
 
 def beam_generate(model: XFMForCaptioning, variables, images, *, bos_id: int,
                   eos_id: int, pad_id: int, max_len: int = 20,
-                  num_beams: int = 3, length_penalty: float = 1.0):
+                  min_len: int = 0, num_beams: int = 3,
+                  length_penalty: float = 1.0):
     """Beam search with the KV cache reordered per step
     (reference HF beam path, models/xbert.py:1368-1391 `_reorder_cache`).
 
@@ -335,15 +342,16 @@ def beam_generate(model: XFMForCaptioning, variables, images, *, bos_id: int,
     sequences [B, max_len]."""
     return _beam_generate_jit(model, variables["params"], images,
                               bos_id=bos_id, eos_id=eos_id, pad_id=pad_id,
-                              max_len=max_len, num_beams=num_beams,
+                              max_len=max_len, min_len=min_len,
+                              num_beams=num_beams,
                               length_penalty=length_penalty)
 
 
 @_partial(jax.jit, static_argnames=("model", "bos_id", "eos_id", "pad_id",
-                                    "max_len", "num_beams",
+                                    "max_len", "min_len", "num_beams",
                                     "length_penalty"))
 def _beam_generate_jit(model, params, images, *, bos_id, eos_id, pad_id,
-                       max_len, num_beams, length_penalty):
+                       max_len, min_len=0, num_beams=3, length_penalty=1.0):
     image_embeds = model.apply({"params": params}, images,
                                method=XFMForCaptioning.encode_images)
     B = image_embeds.shape[0]
@@ -357,6 +365,8 @@ def _beam_generate_jit(model, params, images, *, bos_id, eos_id, pad_id,
         method=XFMForCaptioning.decode_step, mutable=["cache"])
     logp = jax.nn.log_softmax(logits.astype(jnp.float32), -1)
     logp = logp.reshape(B, K, -1)[:, 0, :]                # beams identical
+    if min_len > 1:  # cur_len incl. bos is 1 here (HF min_length semantics)
+        logp = logp.at[:, eos_id].set(-1e9)
     V = logp.shape[-1]
     scores0, tok0 = jax.lax.top_k(logp, K)                # [B, K]
 
@@ -379,6 +389,10 @@ def _beam_generate_jit(model, params, images, *, bos_id, eos_id, pad_id,
             method=XFMForCaptioning.decode_step, mutable=["cache"])
         logp = jax.nn.log_softmax(logits.astype(jnp.float32), -1)
         logp = logp.reshape(B, K, V)
+        if min_len > 0:
+            # cur_len incl. bos at this step is i + 2
+            blocked = logp.at[..., eos_id].set(-1e9)
+            logp = jnp.where(i + 2 < min_len, blocked, logp)
         # finished beams: only pad continues, with 0 logp
         pad_only = jnp.full((V,), -1e9).at[pad_id].set(0.0)
         logp = jnp.where(done[..., None], pad_only[None, None], logp)

@@ -21,7 +21,7 @@ from ..data.transforms import TestTransform, TrainTransform
 from ..eval.caption_metrics import coco_caption_eval
 from ..eval.cider import CiderD
 from ..models import XFMForCaptioning, config_from_yaml, generate
-from ..models.generation import shift_lm_loss
+from ..models.generation import beam_generate, shift_lm_loss
 from ..train.metrics import is_main_process
 from ..train.train_state import make_train_step
 from .common import task_rng, TaskContext, append_log, build_state, train_epoch
@@ -48,13 +48,22 @@ def decode_ids(tokenizer, ids, eos_id, pad_id):
 
 
 def generate_captions(model, variables, data: CaptioningData, tokenizer,
-                      max_len=20):
+                      max_len=20, min_len=0, num_beams=1):
+    """Bulk caption generation: beam search when num_beams > 1 (reference
+    Captioning.py:86-87 evaluates with config num_beams/min_length —
+    configs/xfm-ft/Captioning.yaml:32-35), greedy otherwise."""
     bos, eos, pad = _special_ids(tokenizer)
     results = []
     for batch in data.epoch():
-        seqs, _ = generate(model, variables, jnp.asarray(batch["images"]),
-                           bos_id=bos, eos_id=eos, pad_id=pad,
-                           max_len=max_len, greedy=True)
+        images = jnp.asarray(batch["images"])
+        if num_beams > 1:
+            seqs = beam_generate(model, variables, images, bos_id=bos,
+                                 eos_id=eos, pad_id=pad, max_len=max_len,
+                                 min_len=min_len, num_beams=num_beams)
+        else:
+            seqs, _ = generate(model, variables, images, bos_id=bos,
+                               eos_id=eos, pad_id=pad, max_len=max_len,
+                               min_len=min_len, greedy=True)
         for iid, seq in zip(batch["image_id"], np.asarray(seqs)):
             results.append({"image_id": int(iid),
                             "caption": decode_ids(tokenizer, seq, eos, pad)})
@@ -145,7 +154,9 @@ def main(args, config: Optional[dict] = None, scst: bool = False):
     if args.evaluate:
         results = generate_captions(model, {"params": state.params},
                                     val_data, tokenizer,
-                                    cfg.get("max_length", 20))
+                                    cfg.get("max_length", 20),
+                                    min_len=cfg.get("min_length", 0),
+                                    num_beams=cfg.get("num_beams", 1))
         path = collect_results(results, os.path.join(ctx.out_dir, "result"),
                                "caption_result")
         metrics = _score_captions(results, cfg)
@@ -175,7 +186,9 @@ def main(args, config: Optional[dict] = None, scst: bool = False):
         append_log(ctx.out_dir, {"epoch": epoch, **stats})
         save_epoch_checkpoint(ctx, state, epoch)
     results = generate_captions(model, {"params": state.params}, val_data,
-                                tokenizer, cfg.get("max_length", 20))
+                                tokenizer, cfg.get("max_length", 20),
+                                min_len=cfg.get("min_length", 0),
+                                num_beams=cfg.get("num_beams", 1))
     metrics = _score_captions(results, cfg)
     append_log(ctx.out_dir, {"final": metrics})
     return metrics
