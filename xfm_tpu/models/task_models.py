@@ -57,20 +57,21 @@ class XFMForPretrain(nn.Module):
                  masked_pos=None, masked_ids=None, image_mask=None,
                  idx_to_group_img=None, image_atts=None, target_bbox=None,
                  is_image=None, ret_itc=True, ret_match=True, ret_mlm=True,
-                 ret_mim=False, ret_bbox=False, data_source=None,
-                 vqkd_code_ids=None, deterministic=True):
+                 ret_mim=False, ret_bbox=False, ret_bbox_giou=None,
+                 data_source=None, vqkd_code_ids=None, deterministic=True):
         return self.loss(images, text_ids, text_atts, text_ids_masked,
                          masked_pos, masked_ids, image_mask,
                          idx_to_group_img, image_atts, target_bbox, is_image,
                          ret_itc, ret_match, ret_mlm, ret_mim, ret_bbox,
-                         data_source, vqkd_code_ids, deterministic)
+                         ret_bbox_giou, data_source, vqkd_code_ids,
+                         deterministic)
 
     def loss(self, images, text_ids, text_atts, text_ids_masked=None,
              masked_pos=None, masked_ids=None, image_mask=None,
              idx_to_group_img=None, image_atts=None, target_bbox=None,
              is_image=None, ret_itc=True, ret_match=True, ret_mlm=True,
-             ret_mim=False, ret_bbox=False, data_source=None,
-             vqkd_code_ids=None, deterministic=True):
+             ret_mim=False, ret_bbox=False, ret_bbox_giou=None,
+             data_source=None, vqkd_code_ids=None, deterministic=True):
         bb = self.backbone
         out = {}
         zero = jnp.asarray(0.0, jnp.float32)
@@ -149,7 +150,12 @@ class XFMForPretrain(nn.Module):
         else:
             out["loss_mim"] = zero
 
-        if ret_bbox and target_bbox is not None:
+        # ret_bbox (reference ret_bbox_loss) gates the region-grouped vision
+        # forward; ret_bbox_giou gates the loss compute itself (reference
+        # models/model_pretrain.py:81-89 — shipped configs set both True,
+        # default follows ret_bbox)
+        giou_on = ret_bbox if ret_bbox_giou is None else ret_bbox_giou
+        if ret_bbox and giou_on and target_bbox is not None:
             coords = bb.predict_bbox(image_embeds_fullatts, text_ids=None,
                                      text_atts=text_atts,
                                      text_embeds=text_embeds,

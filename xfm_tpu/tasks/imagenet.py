@@ -16,7 +16,8 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from ..data.transforms import TestTransform, TrainTransform, decode_image
+from ..data.timm_aug import ImagenetEvalTransform
+from ..data.transforms import decode_image
 from ..models import XFMForClassification, config_from_yaml
 from ..train.metrics import is_main_process
 from ..train.optim import create_optimizer, lars
@@ -47,9 +48,12 @@ def load_manifest(path_or_dir: str):
 
 def mixup_cutmix(rng: np.random.Generator, images, labels, num_labels,
                  mixup_alpha=0.8, cutmix_alpha=1.0, prob=1.0,
+                 switch_prob=0.5, cutmix_minmax=None,
                  label_smoothing=0.1):
     """Host-side Mixup/CutMix → soft targets
-    (reference Imagenet.py:592-611 via timm Mixup)."""
+    (reference Imagenet.py:592-611 via timm Mixup; 'batch' mode — one lam
+    per batch, cutmix chosen with `switch_prob`, bbox from `cutmix_minmax`
+    area-ratio bounds when given, else from Beta(cutmix_alpha))."""
     B = images.shape[0]
     onehot = np.full((B, num_labels), label_smoothing / num_labels,
                      np.float32)
@@ -57,11 +61,18 @@ def mixup_cutmix(rng: np.random.Generator, images, labels, num_labels,
     if rng.random() > prob:
         return images, onehot
     perm = rng.permutation(B)
-    if rng.random() < 0.5:
+    use_cutmix = rng.random() < switch_prob if mixup_alpha > 0 else True
+    if cutmix_alpha <= 0 and cutmix_minmax is None:
+        use_cutmix = False
+    if not use_cutmix:
         lam = rng.beta(mixup_alpha, mixup_alpha)
         images = lam * images + (1 - lam) * images[perm]
     else:
-        lam = rng.beta(cutmix_alpha, cutmix_alpha)
+        if cutmix_minmax:
+            # timm minmax mode: erase-ratio drawn uniformly in the bounds
+            lam = 1.0 - rng.uniform(cutmix_minmax[0], cutmix_minmax[1])
+        else:
+            lam = rng.beta(cutmix_alpha, cutmix_alpha)
         H, W = images.shape[1:3]
         rh, rw = int(H * np.sqrt(1 - lam)), int(W * np.sqrt(1 - lam))
         cy, cx = rng.integers(0, H), rng.integers(0, W)
@@ -188,12 +199,16 @@ def main(args, config: Optional[dict] = None):
 
     if args.evaluate:
         metrics = evaluate(model, state.params, val_rows,
-                           TestTransform(image_res),
+                           ImagenetEvalTransform(image_res),
                            cfg.get("image_root"), bsz)
         print(metrics, flush=True)
         return metrics
 
     use_mix = cfg.get("mixup", 0.8) > 0 and not is_lp
+    if cfg.get("mixup_mode", "batch") != "batch":
+        raise NotImplementedError(
+            "mixup_mode 'pair'/'elem' not implemented; the reference config "
+            "uses 'batch' (configs/xfm-ft/imagenet1k.yaml:38)")
 
     def loss_fn(params, batch, rng):
         if use_mix:
@@ -210,17 +225,29 @@ def main(args, config: Optional[dict] = None):
     step_fn = make_train_step(loss_fn)
     rng = task_rng(ctx)
     host_rng = np.random.default_rng(ctx.seed)
-    ttf = TrainTransform(image_res, scale=(0.08, 1.0))
+    # reference Imagenet.py:260-278 timm create_transform recipe
+    from ..data.timm_aug import ImagenetTrainTransform
+
+    ttf = ImagenetTrainTransform(
+        image_res, aa=cfg.get("aa", "rand-m9-mstd0.5-inc1"),
+        color_jitter=cfg.get("color_jitter"),
+        reprob=cfg.get("reprob", 0.25), remode=cfg.get("remode", "pixel"),
+        recount=cfg.get("recount", 1), seed=ctx.seed)
     best = 0.0
     for epoch in range(epochs):
         def loader():
             for b in batches(train_rows, ttf, cfg.get("image_root"), bsz,
                              seed=ctx.seed + epoch):
                 if use_mix:
-                    imgs, tgts = mixup_cutmix(host_rng, b["images"],
-                                              b["targets"], num_labels,
-                                              label_smoothing=cfg.get(
-                                                  "label_smoothing", 0.1))
+                    imgs, tgts = mixup_cutmix(
+                        host_rng, b["images"], b["targets"], num_labels,
+                        mixup_alpha=cfg.get("mixup", 0.8),
+                        cutmix_alpha=cfg.get("cutmix", 1.0),
+                        prob=cfg.get("mixup_prob", 1.0),
+                        switch_prob=cfg.get("mixup_switch_prob", 0.5),
+                        cutmix_minmax=cfg.get("cutmix_minmax"),
+                        label_smoothing=cfg.get(
+                            "smoothing", cfg.get("label_smoothing", 0.1)))
                     yield dict(images=imgs, targets=tgts)
                 else:
                     yield b
@@ -228,7 +255,7 @@ def main(args, config: Optional[dict] = None):
         state, stats = train_epoch(ctx, state, step_fn, loader(), rng,
                                    epoch, sched)
         metrics = evaluate(model, state.params, val_rows,
-                           TestTransform(image_res), cfg.get("image_root"),
+                           ImagenetEvalTransform(image_res), cfg.get("image_root"),
                            bsz)
         append_log(ctx.out_dir, {"epoch": epoch, **stats, **metrics})
         if is_main_process():

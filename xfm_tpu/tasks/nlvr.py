@@ -83,7 +83,10 @@ def main(args, config: Optional[dict] = None):
                            deterministic=False, rngs={"dropout": rng})
         return loss, {}
 
-    step_fn = make_train_step(loss_fn)
+    # accumulate_steps (reference NLVR.py:46-57)
+    from .common import make_task_step
+
+    step_fn, accum = make_task_step(ctx, loss_fn)
     rng = task_rng(ctx)
     from .common import maybe_resume_epochs, save_epoch_checkpoint
 
@@ -93,7 +96,7 @@ def main(args, config: Optional[dict] = None):
                        int(cfg.get("schedular", {}).get("epochs", 10))):
         loader = train_data.epoch(epoch_seed=ctx.seed + epoch)
         state, stats = train_epoch(ctx, state, step_fn, loader, rng, epoch,
-                                   sched)
+                                   sched, accum_steps=accum)
         val = evaluate(model, state.params, val_data)
         test = evaluate(model, state.params, test_data)
         append_log(ctx.out_dir, {"epoch": epoch, **stats,

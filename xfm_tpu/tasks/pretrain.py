@@ -92,7 +92,8 @@ def stream_flags(name: str, step: int, cfg) -> dict:
         base.update(ret_itc=False, ret_match=False, ret_mim=False)
     if name == "region":
         base.update(ret_mim=False,
-                    ret_bbox=cfg.get("ret_bbox_loss", True))
+                    ret_bbox=cfg.get("ret_bbox_loss", True),
+                    ret_bbox_giou=cfg.get("ret_bbox_giou", True))
     return base
 
 
@@ -226,6 +227,13 @@ def main(args, config: Optional[dict] = None):
                     batch = dict(batch)
                     batch["images"] = randaugment_batch(
                         jax.random.fold_in(rng, 1000 + i), batch["images"])
+                if (name == "region" and batch.get("is_image") is not None
+                        and cfg.get("calc_image_bbox_loss", False)):
+                    # calc_image_bbox_loss: whole-image rows count in the
+                    # bbox loss too (reference Pretrain.py:101-102 sets
+                    # is_image=None)
+                    batch = dict(batch)
+                    batch["is_image"] = None
                 if (code_ids_fn is not None and flags.get("ret_mim")
                         and batch.get("images") is not None):
                     # frozen-tokenizer code ids of the unmasked images

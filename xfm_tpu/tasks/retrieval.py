@@ -26,9 +26,11 @@ from .common import task_rng, TaskContext, append_log, build_state, train_epoch
 
 
 def encode_corpus(model, params, eval_data: RetrievalEvalData,
-                  batch_size: int):
+                  batch_size: int, text_batch_size: int = 0):
     """Stage 1: features for every image and text
-    (reference Retrieval.py:99-130)."""
+    (reference Retrieval.py:99-130; texts use `batch_size_test_text`
+    when set — Retrieval.py:244-245)."""
+    text_batch_size = text_batch_size or batch_size
 
     @jax.jit
     def enc_img(params, images):
@@ -46,7 +48,7 @@ def encode_corpus(model, params, eval_data: RetrievalEvalData,
         img_embeds.append(np.asarray(e))
         img_feats.append(np.asarray(f))
     txt_embeds, txt_feats, txt_atts = [], [], []
-    for ids, atts in eval_data.text_batches(batch_size):
+    for ids, atts in eval_data.text_batches(text_batch_size):
         e, f = enc_txt(params, jnp.asarray(ids), jnp.asarray(atts))
         txt_embeds.append(np.asarray(e))
         txt_feats.append(np.asarray(f))
@@ -151,7 +153,8 @@ def itm_eval(score_i2t, score_t2i, img2txt, txt2img) -> dict:
 def evaluation(model, params, eval_data: RetrievalEvalData, config: dict):
     batch = config.get("batch_size_test", 32)
     img_embeds, img_feats, txt_embeds, txt_feats, txt_atts = encode_corpus(
-        model, params, eval_data, batch)
+        model, params, eval_data, batch,
+        config.get("batch_size_test_text", 0))
     sims = img_feats @ txt_feats.T
     k_test = min(config.get("k_test", 256), sims.shape[1], sims.shape[0])
     s_i2t, s_t2i = rerank_scores(model, params, img_embeds, txt_embeds,

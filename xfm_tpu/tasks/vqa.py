@@ -47,7 +47,8 @@ def collect_results(result: list, out_dir: str, filename: str) -> str:
     return final
 
 
-def evaluate(model, params, data: VQAData, k: int, out_dir: str):
+def evaluate(model, params, data: VQAData, k: int, out_dir: str,
+             tag: str = ""):
     ans_ids, ans_atts = data.encode_answer_list()
     ans_ids, ans_atts = jnp.asarray(ans_ids), jnp.asarray(ans_atts)
 
@@ -67,7 +68,7 @@ def evaluate(model, params, data: VQAData, k: int, out_dir: str):
             results.append({"question_id": int(qid),
                             "answer": data.answer_list[int(aid)]})
     return collect_results(results, os.path.join(out_dir, "result"),
-                           "vqa_result")
+                           "vqa_result" + (f"_{tag}" if tag else ""))
 
 
 def calculate_acc(result_path: str, data: VQAData) -> dict:
@@ -148,9 +149,32 @@ def main(args, config: Optional[dict] = None):
 
         sd = load_torch_state_dict(args.checkpoint)
         imported = import_xfm_checkpoint(sd, mcfg)
-        # decoder initialized from the fusion encoder
-        # (reference models/model_generation.py:83-86)
-        if "backbone" in imported and "fusion_encoder" in imported["backbone"]:
+        vqa_ckpt = args.evaluate or cfg.get("load_vqa_pretrain", False)
+        has_decoder = any(k.startswith("text_decoder.") for k in sd)
+        if vqa_ckpt and has_decoder:
+            # VQA-format checkpoint: its own decoder weights, loaded
+            # verbatim (reference models/model_generation.py:61-63
+            # is_eval / --load_vqa_pretrain path)
+            from ..train.checkpoint import import_text_encoder, strip_prefix
+
+            sub = strip_prefix(sd, "text_decoder.roberta.")
+            sub.update({k[len("text_decoder."):]: v for k, v in sd.items()
+                        if k.startswith("text_decoder.lm_head.")})
+            if not sub:
+                sub = strip_prefix(sd, "text_decoder.bert.")
+                sub.update({k[len("text_decoder."):]: v for k, v in sd.items()
+                            if k.startswith("text_decoder.cls.")})
+            from ..models.generation import make_decoder_config
+
+            dec_cfg = make_decoder_config(
+                mcfg, cfg.get("num_dec_layers", 12),
+                cfg.get("decoder_fusion_start_at", 0))
+            imported["text_decoder"] = import_text_encoder(
+                sub, dec_cfg, with_mlm=True)
+        elif "backbone" in imported and \
+                "fusion_encoder" in imported["backbone"]:
+            # decoder initialized from the fusion encoder
+            # (reference models/model_generation.py:83-86)
             imported["text_decoder"] = imported["backbone"]["fusion_encoder"]
         params, missing, _ = merge_params(state.params, to_jax(imported))
         state = state.replace(params=params)
@@ -175,18 +199,33 @@ def main(args, config: Optional[dict] = None):
                            deterministic=False, rngs={"dropout": rng})
         return loss, {}
 
-    step_fn = make_train_step(loss_fn)
+    # accumulate_steps (reference VQA.py:55-65 pattern shared with
+    # Retrieval.py): K micro-batches per optimizer step
+    from .common import make_task_step
+
+    step_fn, accum = make_task_step(ctx, loss_fn)
     rng = task_rng(ctx)
     from .common import maybe_resume_epochs, save_epoch_checkpoint
 
     state, start_epoch = maybe_resume_epochs(ctx, state)
+    start_eval = int(cfg.get("start_eval", 0))
     for epoch in range(start_epoch,
                        int(cfg.get("schedular", {}).get("epochs", 8))):
         loader = train_data.epoch(epoch_seed=ctx.seed + epoch)
         state, stats = train_epoch(ctx, state, step_fn, loader, rng, epoch,
-                                   sched)
+                                   sched, accum_steps=accum)
         append_log(ctx.out_dir, {"epoch": epoch, **stats})
         save_epoch_checkpoint(ctx, state, epoch)
+        if epoch >= start_eval and epoch < int(
+                cfg.get("schedular", {}).get("epochs", 8)) - 1:
+            # per-epoch eval from start_eval on (reference VQA.py:262);
+            # the final-epoch eval below always runs
+            p = evaluate(model, state.params, test_data,
+                         cfg.get("k_test", 128), ctx.out_dir,
+                         tag=f"epoch{epoch}")
+            acc = calculate_acc(p, test_data) if is_main_process() else {}
+            if acc:
+                append_log(ctx.out_dir, {"epoch": epoch, **acc})
     path = evaluate(model, state.params, test_data, cfg.get("k_test", 128),
                     ctx.out_dir)
     acc = calculate_acc(path, test_data) if is_main_process() else {}
