@@ -140,9 +140,11 @@ def test_captioning_end_to_end(tmp_path):
 
 
 @pytest.mark.slow
-def test_captioning_scst_steps(tmp_path):
-    """SCST RL loop: greedy baseline + sampled captions + CIDEr rewards +
-    policy-gradient step (reference Captioning_scst.py:41-96)."""
+@pytest.mark.parametrize("baseline", ["greedy", "sample"])
+def test_captioning_scst_steps(tmp_path, baseline):
+    """SCST RL loop: baseline (greedy decode or leave-one-out sample mean,
+    reference Captioning_scst.py:57 sc_baseline_type) + sampled captions +
+    CIDEr rewards + policy-gradient step (Captioning_scst.py:41-96)."""
     names = write_images(tmp_path, 4)
     train = [{"image": n, "caption": f"a photo of item {i}",
               "image_id": i} for i, n in enumerate(names)]
@@ -152,7 +154,7 @@ def test_captioning_scst_steps(tmp_path):
                image_root=str(tmp_path), batch_size_train=4,
                batch_size_test=4, max_tokens=12, max_length=5,
                num_dec_layers=2, decoder_fusion_start_at=0,
-               scst_num_samples=2,
+               sc_train_sample_n=2, sc_baseline_type=baseline,
                schedular={"sched": "linear", "lr": 1e-4, "epochs": 1,
                           "num_warmup_steps": 0},
                optimizer={"lr": 1e-4, "weight_decay": 0.01})
@@ -506,3 +508,27 @@ def test_grounding_evaluate_only(tmp_path):
     args.evaluate = True
     metrics = grounding.main(args)
     assert 0.0 <= metrics["iou50_acc"] <= 1.0
+
+
+@pytest.mark.slow
+def test_classify_text_classifier_ablation(tmp_path):
+    """use_text_classifier (reference Classify.py →
+    models/model_classification.py:98-150): text-only encoder + MLP head,
+    no vision params."""
+    rows = [{"text": f"sample number {i}", "label": i % 2}
+            for i in range(8)]
+    (tmp_path / "t.jsonl").write_text(
+        "\n".join(json.dumps(r) for r in rows))
+    cfg = dict(tiny_model_keys(), train_file=str(tmp_path / "t.jsonl"),
+               val_file=str(tmp_path / "t.jsonl"), num_labels=2,
+               batch_size=4, max_tokens=10, use_text_classifier=True,
+               schedular={"sched": "linear", "lr": 1e-3, "epochs": 1,
+                          "num_warmup_steps": 0},
+               optimizer={"lr": 1e-3, "weight_decay": 0.01})
+    cfg_path = tmp_path / "c.yaml"
+    yaml.safe_dump(cfg, open(cfg_path, "w"))
+
+    from xfm_tpu.tasks import classify
+
+    metrics = classify.main(make_args(cfg_path, tmp_path / "out"))
+    assert 0.0 <= metrics["best_acc"] <= 1.0

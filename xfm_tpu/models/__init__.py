@@ -16,6 +16,7 @@ from .task_models import (
     XFMForRetrieval,
     XFMForNLVR,
     XFMForClassification,
+    TextClassifier,
     XFMForGrounding,
     DeepMLPHead,
 )

@@ -314,6 +314,35 @@ class XFMForClassification(nn.Module):
         return cross_entropy(pred, targets)
 
 
+class TextClassifier(nn.Module):
+    """Text-only classifier ablation (reference
+    models/model_classification.py:98-150 TextClassifier: a plain
+    BERT/RoBERTa encoder + 2-layer MLP head, no vision/fusion towers —
+    Classify.py `use_text_classifier`). Here the same TextTransformer
+    engine runs in pure text mode; no vision parameters are created."""
+    text_config: Any
+    num_labels: int = 2
+
+    def setup(self):
+        from .text_encoder import TextTransformer
+
+        self.text_encoder = TextTransformer(self.text_config)
+        self.cls_head = MLPHead(self.num_labels,
+                                dtype=self.text_config.dtype)
+
+    def __call__(self, images=None, text_ids=None, text_atts=None,
+                 targets=None, train=True, deterministic=True):
+        hidden = self.text_encoder(text_ids, attention_mask=text_atts,
+                                   deterministic=deterministic)
+        pred = self.cls_head(hidden[:, 0, :])
+        if not train:
+            return pred
+        return cross_entropy(pred, targets)
+
+    def init_all(self, images=None, text_ids=None, text_atts=None):
+        return self(text_ids=text_ids, text_atts=text_atts, train=False)
+
+
 class XFMForGrounding(nn.Module):
     """RefCOCO bbox regression head (reference models/model_grounding.py)."""
     config: XFMConfig

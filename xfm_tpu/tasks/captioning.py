@@ -197,7 +197,12 @@ def main(args, config: Optional[dict] = None, scst: bool = False):
 def train_scst(ctx, cfg, model, state, train_data, tokenizer):
     """SCST RL fine-tune (reference Captioning_scst.py:41-96)."""
     bos, eos, pad = _special_ids(tokenizer)
-    n_samples = cfg.get("scst_num_samples", 5)
+    # reference key sc_train_sample_n (Captioning_scst.py:57); the older
+    # scst_num_samples spelling stays accepted
+    n_samples = int(cfg.get("sc_train_sample_n",
+                            cfg.get("scst_num_samples", 5)))
+    baseline_type = cfg.get("sc_baseline_type", "greedy")
+    assert baseline_type in ("greedy", "sample"), baseline_type
     max_len = cfg.get("max_length", 20)
 
     # group references per image for the reward
@@ -238,9 +243,11 @@ def train_scst(ctx, cfg, model, state, train_data, tokenizer):
         for batch in train_data.epoch(epoch_seed=ctx.seed + epoch):
             images = jnp.asarray(batch["images"])
             variables = {"params": state.params}
-            greedy_seqs, _ = generate(model, variables, images, bos_id=bos,
-                                      eos_id=eos, pad_id=pad,
-                                      max_len=max_len, greedy=True)
+            greedy_seqs = None
+            if baseline_type == "greedy":
+                greedy_seqs, _ = generate(model, variables, images,
+                                          bos_id=bos, eos_id=eos, pad_id=pad,
+                                          max_len=max_len, greedy=True)
             rng, sub = jax.random.split(rng)
             samp_seqs, _ = generate(model, variables, images, bos_id=bos,
                                     eos_id=eos, pad_id=pad, max_len=max_len,
@@ -252,10 +259,19 @@ def train_scst(ctx, cfg, model, state, train_data, tokenizer):
             # CIDEr rewards on host
             iids = [str(a) for a in batch.get("image_id",
                                               range(images.shape[0]))]
-            base = _reward(cider, tokenizer, greedy_seqs, iids, eos, pad, 1)
             rew = _reward(cider, tokenizer, samp_seqs, iids, eos, pad,
                           n_samples)
-            adv = jnp.asarray(rew - np.repeat(base, n_samples), jnp.float32)
+            if baseline_type == "greedy":
+                base = _reward(cider, tokenizer, greedy_seqs, iids, eos,
+                               pad, 1)
+                adv = rew - np.repeat(base, n_samples)
+            else:
+                # 'sample' baseline: leave-one-out mean of the other
+                # samples' rewards (reference utils/__init__.py:29-30)
+                sc = rew.reshape(-1, n_samples)
+                base = (sc.sum(1, keepdims=True) - sc) / (n_samples - 1)
+                adv = (sc - base).reshape(-1)
+            adv = jnp.asarray(adv, jnp.float32)
             state, loss = scst_step(state, images, jnp.asarray(samp_seqs),
                                     adv, sub)
             if step % 50 == 0 and is_main_process():
@@ -387,7 +403,8 @@ def main_infer(args, config=None):
     from ..data.transforms import TestTransform, decode_image
 
     tt = TestTransform(image_res)
-    img_dir = cfg["image_dir"]
+    # reference run_infer_caption.py reads `img_rdir`
+    img_dir = cfg.get("image_dir") or cfg["img_rdir"]
     files = sorted(os.listdir(img_dir))
     example = dict(images=jnp.zeros((1, image_res, image_res, 3)),
                    text_ids=jnp.ones((1, 5), jnp.int32),
@@ -402,10 +419,20 @@ def main_infer(args, config=None):
         chunk = files[s:s + bs]
         imgs = np.stack([tt(decode_image(os.path.join(img_dir, f)))
                          for f in chunk])
-        seqs, _ = generate(model, {"params": state.params},
-                           jnp.asarray(imgs), bos_id=bos, eos_id=eos,
-                           pad_id=pad, max_len=cfg.get("max_length", 20),
-                           greedy=True)
+        variables = {"params": state.params}
+        nb = cfg.get("num_beams", 1)
+        if nb > 1:  # reference run_infer_caption.py decodes with beams
+            seqs = beam_generate(model, variables, jnp.asarray(imgs),
+                                 bos_id=bos, eos_id=eos, pad_id=pad,
+                                 max_len=cfg.get("max_length", 20),
+                                 min_len=cfg.get("min_length", 0),
+                                 num_beams=nb)
+        else:
+            seqs, _ = generate(model, variables, jnp.asarray(imgs),
+                               bos_id=bos, eos_id=eos, pad_id=pad,
+                               max_len=cfg.get("max_length", 20),
+                               min_len=cfg.get("min_length", 0),
+                               greedy=True)
         for f, seq in zip(chunk, np.asarray(seqs)):
             results.append({"image": f,
                             "caption": decode_ids(tokenizer, seq, eos,

@@ -76,9 +76,19 @@ def main(args, config: Optional[dict] = None):
     has_txt = "text" in train_rows[0]
     task_name = "fused" if (has_img and has_txt) else (
         "imagenet" if has_img else "glue")
-    model = XFMForClassification(mcfg, num_labels=num_labels,
-                                 task_name=task_name,
-                                 is_lp=cfg.get("is_lp", False))
+    if cfg.get("use_text_classifier", False):
+        # text-only ablation: plain text encoder + MLP head, no vision
+        # params built (reference Classify.py use_text_classifier →
+        # models/model_classification.py:98-150)
+        from ..models.task_models import TextClassifier
+
+        has_img = False
+        task_name = "glue"
+        model = TextClassifier(mcfg.text, num_labels=num_labels)
+    else:
+        model = XFMForClassification(mcfg, num_labels=num_labels,
+                                     task_name=task_name,
+                                     is_lp=cfg.get("is_lp", False))
 
     T = cfg.get("max_tokens", 40)
     bsz = cfg.get("batch_size", 16)
@@ -89,8 +99,8 @@ def main(args, config: Optional[dict] = None):
         example["text_ids"] = jnp.ones((2, T), jnp.int32)
         example["text_atts"] = jnp.ones((2, T), jnp.int32)
     steps = max(1, len(train_rows) // bsz)
-    state, sched = build_state(ctx, model, example,
-                               XFMForClassification.init_all, steps)
+    state, sched = build_state(ctx, model, example, type(model).init_all,
+                               steps)
     if args.checkpoint:
         from ..train.checkpoint import (import_xfm_checkpoint,
                                         load_torch_state_dict, merge_params,
