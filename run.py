@@ -108,10 +108,53 @@ def run_infer_caption(args):
     return captioning.main_infer(args)
 
 
+# Per-task default configs used when --config is missing/nonexistent
+# (reference run.py:118,139,151,163,173,185,201,224,254,267,281,291 —
+# `if not os.path.exists(args.config): args.config = f'configs/{model}/...'`).
+# pretrain_DIY's default ignores --model, as in reference run.py:289-291.
+DEFAULT_CONFIGS = {
+    "pretrain_DIY": "configs/xfm-pt/Pretrain_XBrain_base_4m.yaml",
+    "glue": "configs/{model}/glue_mrpc.yaml",
+    "imagenet": "configs/{model}/imagenet1k.yaml",
+    "nlvr": "configs/{model}/NLVR.yaml",
+    "itr_flickr": "configs/{model}/Retrieval_flickr.yaml",
+    "itr_coco": "configs/{model}/Retrieval_coco.yaml",
+    "vqa": "configs/{model}/VQA.yaml",
+    "refcoco_bbox": "configs/{model}/Grounding_bbox.yaml",
+    "coco_captioning": "configs/{model}/Captioning.yaml",
+    "infer_caption": "configs/{model}/Captioning.yaml",
+}
+
+
+def resolve_config(args):
+    """Reference CLI semantics: --config may be omitted or point at a
+    missing file; the task's default under configs/{--model}/ is used."""
+    if args.config and os.path.exists(args.config):
+        return args.config
+    tmpl = DEFAULT_CONFIGS.get(args.task)
+    if tmpl is None:
+        raise SystemExit(f"--config is required for task {args.task!r} "
+                         "(no default config exists)")
+    root = os.path.dirname(os.path.abspath(__file__))
+    cand = os.path.join(root, tmpl.format(model=args.model))
+    if not os.path.exists(cand):
+        raise SystemExit(f"config {args.config!r} not found and the default "
+                         f"{cand!r} does not exist")
+    if args.config:
+        print(f"### config {args.config!r} not found, using default {cand}",
+              flush=True)
+    return cand
+
+
 def build_parser():
     p = argparse.ArgumentParser(description="xfm_tpu task launcher")
     p.add_argument("--task", required=True, choices=sorted(TASKS.keys()))
-    p.add_argument("--config", required=True)
+    p.add_argument("--config", default="",
+                   help="task YAML; if missing, the task default under "
+                        "configs/{--model}/ is used")
+    p.add_argument("--model", default="xfm-ft",
+                   help="default fine-tuning config family "
+                        "(reference run.py:348)")
     p.add_argument("--output_dir", default="output")
     p.add_argument("--checkpoint", default=None)
     p.add_argument("--load_ckpt_from", default=None)
@@ -123,12 +166,16 @@ def build_parser():
     p.add_argument("--lr", type=float, default=None)
     p.add_argument("--dist", default=None,
                    help="accepted for CLI compat; mesh comes from config")
+    p.add_argument("--master_port", type=int, default=12345,
+                   help="accepted for CLI compat (reference run.py:365); "
+                        "TPU runtime needs no rendezvous port")
     p.add_argument("--output_hdfs", default=None)
     return p
 
 
 def main():
     args = build_parser().parse_args()
+    args.config = resolve_config(args)
     from xfm_tpu.core.mesh import maybe_init_distributed
 
     maybe_init_distributed()

@@ -487,6 +487,51 @@ def test_run_cli_dispatch_table():
     assert set(mod.TASKS) == expected
 
 
+def test_run_cli_default_config_fallback(tmp_path):
+    """--config omitted or pointing at a missing file resolves to the
+    task's default under configs/{--model}/ (reference run.py:118-291
+    `if not os.path.exists(args.config): ...`)."""
+    import importlib.util
+
+    root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    spec = importlib.util.spec_from_file_location(
+        "xfm_run2", os.path.join(root, "run.py"))
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+
+    args = mod.build_parser().parse_args(
+        ["--task", "glue", "--output_dir", str(tmp_path)])
+    assert mod.resolve_config(args) == os.path.join(
+        root, "configs", "xfm-ft", "glue_mrpc.yaml")
+
+    # nonexistent --config falls back the same way (itr_coco default)
+    args = mod.build_parser().parse_args(
+        ["--task", "itr_coco", "--config", "/no/such.yaml",
+         "--output_dir", str(tmp_path)])
+    assert mod.resolve_config(args).endswith("Retrieval_coco.yaml")
+
+    # pretrain default ignores --model (reference run.py:289-291)
+    args = mod.build_parser().parse_args(
+        ["--task", "pretrain_DIY", "--model", "other",
+         "--output_dir", str(tmp_path)])
+    assert mod.resolve_config(args).endswith(
+        "xfm-pt/Pretrain_XBrain_base_4m.yaml")
+
+    # an existing --config always wins
+    cfg = tmp_path / "c.yaml"
+    cfg.write_text("{}")
+    args = mod.build_parser().parse_args(
+        ["--task", "glue", "--config", str(cfg),
+         "--output_dir", str(tmp_path)])
+    assert mod.resolve_config(args) == str(cfg)
+
+    # classify has no shipped default -> clean error
+    args = mod.build_parser().parse_args(
+        ["--task", "classify", "--output_dir", str(tmp_path)])
+    with pytest.raises(SystemExit):
+        mod.resolve_config(args)
+
+
 @pytest.mark.slow
 def test_grounding_evaluate_only(tmp_path):
     names = write_images(tmp_path, 4)
