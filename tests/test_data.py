@@ -302,3 +302,63 @@ def test_randaugment_plan_apply_matches_call():
     out3 = np.asarray(ra3.apply_plan(img, ra3.plan()))
     np.testing.assert_array_equal(out2, out3)
     assert out1.shape == out2.shape
+
+
+def test_native_submap_keeps_pairs_aligned(tmp_path):
+    """A blob that passes the admission-time header probe but hard-fails
+    full decode (corrupt IDAT) is substituted by a good in-batch image —
+    and its caption must follow, so the batch holds a duplicated PAIR and
+    never another image's pixels under the broken sample's caption
+    (the reference skips broken samples entirely,
+    dataset/pretrain_dataset.py)."""
+    import base64 as _b64
+    import io as _io
+
+    from PIL import Image
+    from xfm_tpu import native
+
+    if not native.available():
+        pytest.skip("native loader unavailable")
+
+    def png(color):
+        buf = _io.BytesIO()
+        Image.new("RGB", (64, 48), color).save(buf, "PNG")
+        return buf.getvalue()
+
+    bad = bytearray(png((1, 2, 3)))
+    i = bytes(bad).find(b"IDAT")
+    for j in range(i + 8, i + 40):  # corrupt payload, keep IHDR valid
+        bad[j] ^= 0xFF
+    bad = bytes(bad)
+    assert native.image_dims(bad, fast=True) == (64, 48)  # probe passes
+
+    colors = [(200, 10, 10), (10, 200, 10), (10, 10, 200)]
+    rows = [dict(binary=_b64.b64encode(png(c)).decode(),
+                 desc=f"a photo number {k}")
+            for k, c in enumerate(colors)]
+    rows.insert(2, dict(binary=_b64.b64encode(bad).decode(),
+                        desc="a photo number 9"))
+    with open(tmp_path / "d.jsonl", "w") as f:
+        for r in rows:
+            f.write(json.dumps(r) + "\n")
+
+    cfg = dict(image_res=32, patch_size=16, max_words=10, max_tokens=12,
+               max_masks=3, mask_prob=0.5, skipgram_prb=0.2, skipgram_size=3,
+               mask_whole_word=False, num_masking_patches=2,
+               min_num_patches=1,
+               images={"image_key": "binary", "is_image_rpath": False,
+                       "caption_key": "desc", "batch_size": 4,
+                       "num_workers": 2})
+    tok = SimpleTokenizer.from_texts(["a photo number 1 2 3 9"])
+    t = TrainTransform(32, seed=0, randaug=False, hflip=False)
+    stream = ImageTextStream(str(tmp_path / "d.jsonl"), cfg, tok, t,
+                             batch_size=4)
+    assert stream.native_batch is not None
+    batch = next(iter(stream))
+    # slot 2 (corrupt) holds some good slot's pixels...
+    srcs = [k for k in (0, 1, 3)
+            if np.array_equal(batch["images"][2], batch["images"][k])]
+    assert srcs, "corrupt slot was not substituted by a good in-batch image"
+    # ...and that SAME slot's caption (not the broken sample's "number 9")
+    np.testing.assert_array_equal(batch["text_ids"][2],
+                                  batch["text_ids"][srcs[0]])

@@ -52,14 +52,25 @@ def test_row_sliced_rerank_matches_full():
     full_i2t, full_t2i = rerank_scores(model, params, img_embeds, txt_embeds,
                                        txt_atts, sims, k,
                                        process_index=0, process_count=1)
-    # simulate 2 processes: stride rows, combine with max over the -100 fill
+    # simulate 2 processes: stride rows, combine with merge_rerank_scores'
+    # sum + un-shift (exact even for logits below the -100 fill)
     parts = [rerank_scores(model, params, img_embeds, txt_embeds, txt_atts,
                            sims, k, process_index=p, process_count=2)
              for p in range(2)]
-    merged_i2t = np.maximum(parts[0][0], parts[1][0])
-    merged_t2i = np.maximum(parts[0][1], parts[1][1])
+    merged_i2t = parts[0][0] + parts[1][0] + 100.0
+    merged_t2i = parts[0][1] + parts[1][1] + 100.0
 
     np.testing.assert_allclose(merged_i2t, full_i2t, atol=1e-5)
     np.testing.assert_allclose(merged_t2i, full_t2i, atol=1e-5)
     # each process touched only its stride
     assert (parts[0][0][1] == -100).all() and (parts[1][0][0] == -100).all()
+
+    # sum+un-shift reconstructs EXACTLY, even a genuine logit < -100
+    # (an elementwise max against the other process' -100 fill would clamp)
+    owner = np.full((2, 4), -100.0, np.float32)
+    owner[0, :2] = [-150.0, 3.5]          # row 0 owned here
+    other = np.full((2, 4), -100.0, np.float32)
+    other[1, 1:3] = [7.0, -120.0]         # row 1 owned there
+    merged = owner + other + 100.0
+    np.testing.assert_allclose(merged[0], [-150.0, 3.5, -100.0, -100.0])
+    np.testing.assert_allclose(merged[1], [-100.0, 7.0, -120.0, -100.0])

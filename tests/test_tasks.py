@@ -577,3 +577,57 @@ def test_classify_text_classifier_ablation(tmp_path):
 
     metrics = classify.main(make_args(cfg_path, tmp_path / "out"))
     assert 0.0 <= metrics["best_acc"] <= 1.0
+
+
+def test_opt_steps_per_epoch_divides_by_accumulation():
+    """Schedule horizons count optimizer steps — one per K micro-batches
+    (reference run_glue.py:314 num_update_steps_per_epoch =
+    ceil(len(loader)/gradient_accumulation_steps)); without the division a
+    K=8 run would finish having traversed 1/8 of the LR decay."""
+    from xfm_tpu.tasks.common import opt_steps_per_epoch
+
+    assert opt_steps_per_epoch({}, 100) == 100
+    assert opt_steps_per_epoch({"accumulate_steps": 4}, 100) == 25
+    assert opt_steps_per_epoch({"gradient_accumulation_steps": 8}, 100) == 13
+    assert opt_steps_per_epoch({"accumulate_steps": 8}, 3) == 1
+
+
+def test_mixup_cutmix_gates_and_minmax():
+    """timm Mixup semantics (reference Imagenet.py:592-611): cutmix-only
+    configs stay active; cutmix_minmax draws per-dimension SIDE ratios in
+    the bounds (timm rand_bbox_minmax), not a uniform area ratio; both
+    disabled -> unmixed smoothed one-hots."""
+    from xfm_tpu.tasks.imagenet import mixup_cutmix
+
+    r = np.random.default_rng(0)
+    imgs = r.standard_normal((8, 32, 32, 3)).astype(np.float32)
+    labels = np.arange(8) % 4
+
+    # cutmix-only: mixing must happen (boxes pasted => some targets mixed)
+    out, tgt = mixup_cutmix(np.random.default_rng(1), imgs.copy(), labels, 4,
+                            mixup_alpha=0.0, cutmix_alpha=1.0, prob=1.0)
+    assert not np.array_equal(out, imgs) or (tgt.max(1) < 0.95).any()
+
+    # cutmix_minmax-only with mixup 0 must not crash (beta(0,0)) and must
+    # erase sides within the bounds: area in [0.3^2, 0.7^2] of the image
+    areas = []
+    for s in range(20):
+        out, tgt = mixup_cutmix(np.random.default_rng(s), imgs.copy(),
+                                labels, 4, mixup_alpha=0.0, cutmix_alpha=0.0,
+                                prob=1.0, cutmix_minmax=[0.3, 0.7])
+        lam = tgt.max(1).min()  # smallest own-label weight ~ lam
+        areas.append(1 - lam)
+    areas = np.asarray(areas)
+    # per-side ratio in [0.3,0.7] (minus clipping at borders) bounds the
+    # erased area by 0.49; uniform-area sampling would exceed it ~half
+    # the time
+    assert areas.max() <= 0.49 + 1e-6
+    assert areas.mean() < 0.35  # mean ~0.25 for side-sampling, 0.5 for area
+
+    # both modes disabled: unmixed smoothed one-hot targets
+    out, tgt = mixup_cutmix(np.random.default_rng(2), imgs.copy(), labels, 4,
+                            mixup_alpha=0.0, cutmix_alpha=0.0, prob=1.0,
+                            label_smoothing=0.1)
+    np.testing.assert_array_equal(out, imgs)
+    np.testing.assert_allclose(tgt.sum(1), 1.0, rtol=1e-6)
+    assert (tgt.max(1) > 0.9).all()

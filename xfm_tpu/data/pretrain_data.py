@@ -194,8 +194,12 @@ class ImageTextStream:
             dims.append(d)
             caps.append(caption)
             if len(blobs) == self.batch_size:
-                images = nbt(blobs, dims)
+                images, sub = nbt(blobs, dims, return_submap=True)
                 if images is not None:
+                    # a slot whose full decode failed holds another slot's
+                    # pixels — carry that slot's caption too so the batch
+                    # contains a duplicated PAIR, never a mismatched one
+                    caps = [caps[int(s)] for s in sub]
                     enc = [self.prep.encode_masked(c) for c in caps]
                     ids, atts, idsm, mpos, mids = (np.stack(z)
                                                    for z in zip(*enc))

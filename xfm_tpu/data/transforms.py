@@ -160,7 +160,18 @@ class NativeBatchTransform:
         broken-sample skip happens at admission time."""
         return self.native.image_dims(blob, fast=True)
 
-    def __call__(self, blobs: list, dims: list) -> np.ndarray | None:
+    def __call__(self, blobs: list, dims: list, return_submap: bool = False):
+        """Decode+augment a batch; None when every blob is broken.
+
+        With `return_submap=True` returns (images, sub) where sub[i] is the
+        slot whose pixels slot i holds — sub[i] != i marks a slot whose full
+        decode failed (possible even after the admission-time header probe,
+        e.g. a truncated JPEG body) and was substituted by a good in-batch
+        image. Paired callers MUST substitute the companion modality with
+        sub as well (caps[sub[i]]), otherwise the broken sample's caption
+        would sit on another image's pixels — a mismatched pair that poisons
+        ITC/ITM/captioning losses (the reference pipeline drops broken
+        samples entirely, dataset/pretrain_dataset.py skip-on-exception)."""
         n = len(blobs)
         crops = np.asarray(
             [crop_box(w, h, self.scale, rng=self.rng) for w, h in dims],
@@ -172,9 +183,15 @@ class NativeBatchTransform:
             return_status=True)
         good = np.flatnonzero(status == 0)
         if good.size == 0:
-            return None
+            return (None, None) if return_submap else None
+        sub = np.arange(n)
         for j, i in enumerate(np.flatnonzero(status != 0)):
-            u8[i] = u8[good[j % good.size]]  # substitute, keep batch static
+            sub[i] = good[j % good.size]
+            u8[i] = u8[sub[i]]  # substitute, keep batch static
+        out = self._augment(u8, n)
+        return (out, sub) if return_submap else out
+
+    def _augment(self, u8, n):
         if self.randaug is None or self.device_randaug:
             return u8 if self.emit_uint8 else normalize(u8)
         plans = [self.randaug.plan(self.rng) for _ in range(n)]

@@ -203,6 +203,9 @@ def train_scst(ctx, cfg, model, state, train_data, tokenizer):
                             cfg.get("scst_num_samples", 5)))
     baseline_type = cfg.get("sc_baseline_type", "greedy")
     assert baseline_type in ("greedy", "sample"), baseline_type
+    if baseline_type == "sample" and n_samples < 2:
+        raise ValueError("sc_baseline_type: sample needs sc_train_sample_n "
+                         ">= 2 (leave-one-out baseline)")
     max_len = cfg.get("max_length", 20)
 
     # group references per image for the reward

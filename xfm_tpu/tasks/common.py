@@ -76,8 +76,15 @@ def _scale_batch(cfg: dict, global_bs: int) -> None:
 
 def build_state(ctx: TaskContext, model, example_batch, init_method,
                 steps_per_epoch: int, init_rngs: Optional[dict] = None):
-    """Sharded init + optimizer from the YAML config blocks."""
-    sched = schedule_from_config(ctx.config, steps_per_epoch)
+    """Sharded init + optimizer from the YAML config blocks.
+
+    `steps_per_epoch` is in micro-batches; with gradient accumulation K>1
+    the optimizer (and so the optax schedule counter) steps once per K
+    micro-batches, so the schedule horizon is the optimizer-step count
+    (reference run_glue.py:314 num_update_steps_per_epoch =
+    ceil(len(loader) / gradient_accumulation_steps))."""
+    sched = schedule_from_config(
+        ctx.config, opt_steps_per_epoch(ctx.config, steps_per_epoch))
     rngs = init_rngs or {"params": jax.random.PRNGKey(ctx.seed)}
 
     def init_params():
@@ -169,6 +176,16 @@ def accum_steps_from_config(cfg: dict) -> int:
     `gradient_accumulation_steps` (reference run_glue.py:314-360)."""
     return max(1, int(cfg.get("accumulate_steps",
                               cfg.get("gradient_accumulation_steps", 1))))
+
+
+def opt_steps_per_epoch(cfg: dict, micro_steps_per_epoch: int) -> int:
+    """Optimizer steps per epoch: one per accumulation group of K
+    micro-batches (reference run_glue.py:314 num_update_steps_per_epoch =
+    ceil(len(loader) / gradient_accumulation_steps)). The optax schedule
+    counter advances per optimizer step, so schedule horizons must use
+    this, not the micro-batch count."""
+    k = accum_steps_from_config(cfg)
+    return max(1, -(-micro_steps_per_epoch // k))
 
 
 def make_task_step(ctx: TaskContext, loss_fn):

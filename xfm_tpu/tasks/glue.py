@@ -22,7 +22,8 @@ from ..train.metrics import is_main_process
 from ..train.optim import create_optimizer
 from ..train.schedules import linear_warmup_decay
 from ..train.train_state import TrainState, make_train_step
-from .common import task_rng, TaskContext, append_log, train_epoch
+from .common import (task_rng, TaskContext, append_log, opt_steps_per_epoch,
+                     train_epoch)
 
 TASK_KEYS = {
     "cola": ("sentence", None), "sst2": ("sentence", None),
@@ -164,7 +165,10 @@ def main(args, config: Optional[dict] = None):
     bsz = cfg.get("per_device_train_batch_size", 32) * jax.device_count()
     steps_per_epoch = max(1, len(train_ex) // bsz)
     epochs = cfg.get("num_train_epochs", 3)
-    total = cfg.get("max_train_steps") or epochs * steps_per_epoch
+    # schedule horizon counts optimizer steps: one per accumulation group
+    # (reference run_glue.py:314-318 num_update_steps_per_epoch)
+    total = cfg.get("max_train_steps") or \
+        epochs * opt_steps_per_epoch(cfg, steps_per_epoch)
     sched = linear_warmup_decay(float(cfg.get("learning_rate", 5e-5)), total,
                                 cfg.get("num_warmup_steps", 0))
 

@@ -61,20 +61,25 @@ def mixup_cutmix(rng: np.random.Generator, images, labels, num_labels,
     if rng.random() > prob:
         return images, onehot
     perm = rng.permutation(B)
-    use_cutmix = rng.random() < switch_prob if mixup_alpha > 0 else True
-    if cutmix_alpha <= 0 and cutmix_minmax is None:
-        use_cutmix = False
+    cutmix_on = cutmix_alpha > 0 or cutmix_minmax is not None
+    if not (mixup_alpha > 0 or cutmix_on):
+        return images, onehot
+    # timm Mixup._mix_batch: switch only when both modes are enabled
+    use_cutmix = cutmix_on and (mixup_alpha <= 0
+                                or rng.random() < switch_prob)
     if not use_cutmix:
         lam = rng.beta(mixup_alpha, mixup_alpha)
         images = lam * images + (1 - lam) * images[perm]
     else:
+        H, W = images.shape[1:3]
         if cutmix_minmax:
-            # timm minmax mode: erase-ratio drawn uniformly in the bounds
-            lam = 1.0 - rng.uniform(cutmix_minmax[0], cutmix_minmax[1])
+            # timm rand_bbox_minmax: per-dimension side ratios drawn
+            # uniformly in the bounds (NOT a uniform area ratio)
+            rh = int(rng.uniform(cutmix_minmax[0] * H, cutmix_minmax[1] * H))
+            rw = int(rng.uniform(cutmix_minmax[0] * W, cutmix_minmax[1] * W))
         else:
             lam = rng.beta(cutmix_alpha, cutmix_alpha)
-        H, W = images.shape[1:3]
-        rh, rw = int(H * np.sqrt(1 - lam)), int(W * np.sqrt(1 - lam))
+            rh, rw = int(H * np.sqrt(1 - lam)), int(W * np.sqrt(1 - lam))
         cy, cx = rng.integers(0, H), rng.integers(0, W)
         y0, y1 = np.clip(cy - rh // 2, 0, H), np.clip(cy + rh // 2, 0, H)
         x0, x1 = np.clip(cx - rw // 2, 0, W), np.clip(cx + rw // 2, 0, W)
@@ -204,7 +209,11 @@ def main(args, config: Optional[dict] = None):
         print(metrics, flush=True)
         return metrics
 
-    use_mix = cfg.get("mixup", 0.8) > 0 and not is_lp
+    # timm Mixup activates when ANY of mixup/cutmix/cutmix_minmax is set
+    # (reference Imagenet.py:592-611 mixup_active)
+    use_mix = not is_lp and (cfg.get("mixup", 0.8) > 0
+                             or cfg.get("cutmix", 1.0) > 0
+                             or cfg.get("cutmix_minmax") is not None)
     if cfg.get("mixup_mode", "batch") != "batch":
         raise NotImplementedError(
             "mixup_mode 'pair'/'elem' not implemented; the reference config "

@@ -111,18 +111,30 @@ def rerank_scores(model, params, img_embeds, txt_embeds, txt_atts, sims,
 
 def merge_rerank_scores(score_i2t, score_t2i):
     """Combine per-process row slices: every row is owned by exactly one
-    process (others hold the -100 fill), so an elementwise max across
-    processes reconstructs the full matrices (replacing the reference's
-    all_reduce(SUM) of -100-filled matrices, Retrieval.py:175-178, which
-    relied on a uniform shift not changing per-row ranking). No-op on one
-    process."""
+    process (all its entries on non-owners hold the -100 fill). Summing
+    across processes and adding back the (P-1)x(-100) shift reconstructs
+    the owner's values EXACTLY — including genuine ITM logits below -100,
+    which an elementwise max against the fill would clamp (the reference
+    all_reduces the -100-filled matrices and relies on the uniform shift
+    not changing per-row ranking, Retrieval.py:175-178; the explicit
+    un-shift here keeps absolute scores identical to a single-process run).
+    Gathered in row chunks so peak host memory is ~P x chunk, not
+    P x full-matrix. No-op on one process."""
     if jax.process_count() == 1:
         return score_i2t, score_t2i
     from jax.experimental import multihost_utils
 
-    all_i2t = np.asarray(multihost_utils.process_allgather(score_i2t))
-    all_t2i = np.asarray(multihost_utils.process_allgather(score_t2i))
-    return np.max(all_i2t, axis=0), np.max(all_t2i, axis=0)
+    shift = 100.0 * (jax.process_count() - 1)
+
+    def merge(mat, chunk=1024):
+        out = np.empty_like(mat)
+        for s in range(0, mat.shape[0], chunk):
+            part = np.asarray(multihost_utils.process_allgather(
+                mat[s:s + chunk]))
+            out[s:s + chunk] = part.sum(axis=0) + shift
+        return out
+
+    return merge(score_i2t), merge(score_t2i)
 
 
 def itm_eval(score_i2t, score_t2i, img2txt, txt2img) -> dict:
