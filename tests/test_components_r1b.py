@@ -399,3 +399,37 @@ def test_beit_intermediate_layers():
     full = m.apply(params, imgs)
     np.testing.assert_allclose(np.asarray(normed),
                                np.asarray(full[:, 1:, :]), atol=1e-5)
+
+
+def test_deit_backbone_through_xfm_base():
+    """use_deit reaches the model through XFMBase.get_vision_embeds, which
+    always passes idx_to_group_img/image_atts kwargs — the backbone must
+    accept them (round-2 review: it crashed with TypeError, so the opt-in
+    path was dead on arrival)."""
+    import jax
+    import jax.numpy as jnp
+
+    from xfm_tpu.models import XFMBase, config_from_yaml
+
+    cfg = config_from_yaml(dict(
+        use_deit=True, image_res=32, patch_size=16,
+        _vision={"vision_width": 32, "num_hidden_layers": 1,
+                 "num_attention_heads": 2},
+        text_encoder="roberta-base", text_num_hidden_layers=1,
+        text_fusion_start_at=1, fusion_num_hidden_layers=1,
+        fusion_fusion_start_at=0, text_hidden_size=32,
+        text_num_attention_heads=2, text_intermediate_size=64,
+        embed_dim=16))
+    model = XFMBase(cfg)
+    images = jnp.zeros((2, 32, 32, 3), jnp.float32)
+    out, params = model.init_with_output(
+        jax.random.PRNGKey(0), images, method=XFMBase.get_vision_embeds)
+    assert out.shape == (2, 5, 32)  # cls + 4 patches
+
+    # MIM mask / region mode are rejected loudly (reference models/vit.py
+    # has neither), not silently ignored
+    import pytest
+
+    with pytest.raises(NotImplementedError):
+        model.apply(params, images, mask=jnp.ones((2, 4), jnp.int32),
+                    method=XFMBase.get_vision_embeds)

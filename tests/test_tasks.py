@@ -124,6 +124,7 @@ def test_captioning_end_to_end(tmp_path):
                image_root=str(tmp_path), batch_size_train=6,
                batch_size_test=6, max_tokens=12, max_length=6,
                num_dec_layers=2, decoder_fusion_start_at=0,
+               prompt="a photo of ", prompt_length=4,
                schedular={"sched": "linear", "lr": 1e-3, "epochs": 1,
                           "num_warmup_steps": 0},
                optimizer={"lr": 1e-3, "weight_decay": 0.01})
@@ -631,3 +632,85 @@ def test_mixup_cutmix_gates_and_minmax():
     np.testing.assert_array_equal(out, imgs)
     np.testing.assert_allclose(tgt.sum(1), 1.0, rtol=1e-6)
     assert (tgt.max(1) > 0.9).all()
+
+
+def test_caption_prompt_forced_decode(tmp_path):
+    """Decode is seeded with the training-time prompt tokens and callers
+    strip them (reference models/model_generation.py:268-269,323-347:
+    generate() feeds tokenizer(prompt).input_ids[:-1] and strips
+    caption[len(prompt):]). Round-1/2 gap: decoding started at bare BOS."""
+    import jax
+    import jax.numpy as jnp
+
+    from xfm_tpu.data.tokenization import SimpleTokenizer
+    from xfm_tpu.models.generation import beam_generate, generate
+    from xfm_tpu.tasks.captioning import build_model, prompt_token_ids
+
+    tok = SimpleTokenizer.from_texts(["a picture of thing one two three"])
+    cfg = dict(tiny_model_keys(), num_dec_layers=2,
+               decoder_fusion_start_at=0, image_res=32, max_length=8,
+               prompt="a picture of ", prompt_length=4)
+    model, _ = build_model(cfg, tok)
+    pids = prompt_token_ids(tok, cfg["prompt"])
+    assert len(pids) == 3 and all(p > 4 for p in pids)  # no specials
+
+    images = jnp.zeros((2, 32, 32, 3), jnp.float32)
+    params = model.init({"params": jax.random.PRNGKey(0)},
+                        images=images,
+                        text_ids=jnp.ones((2, 8), jnp.int32),
+                        text_atts=jnp.ones((2, 8), jnp.int32),
+                        method=model.init_all)["params"]
+
+    seqs, lps = generate(model, {"params": params}, images, bos_id=1,
+                         eos_id=2, pad_id=0, max_len=8, greedy=True,
+                         prompt_ids=pids)
+    seqs = np.asarray(seqs)
+    np.testing.assert_array_equal(seqs[:, :3],
+                                  np.tile(np.asarray(pids), (2, 1)))
+    # forced slots carry zero logprob (not a policy/sampling choice)
+    np.testing.assert_array_equal(np.asarray(lps)[:, :3], 0.0)
+
+    bseqs = np.asarray(beam_generate(model, {"params": params}, images,
+                                     bos_id=1, eos_id=2, pad_id=0,
+                                     max_len=8, num_beams=3,
+                                     prompt_ids=pids))
+    np.testing.assert_array_equal(bseqs[:, :3],
+                                  np.tile(np.asarray(pids), (2, 1)))
+
+
+def test_caption_decode_with_gradient_checkpointing(tmp_path):
+    """KV-cached decode under remat-wrapped layers: cross_from_cache is a
+    python bool branched on inside SelfAttention and must stay static
+    through nn.remat (round-2 review: threaded as a dynamic kwarg it raised
+    TracerBoolConversionError on every decode step after the first)."""
+    import jax
+    import jax.numpy as jnp
+
+    from xfm_tpu.data.tokenization import SimpleTokenizer
+    from xfm_tpu.models.generation import generate
+    from xfm_tpu.tasks.captioning import build_model
+
+    tok = SimpleTokenizer.from_texts(["one two three"])
+    cfg = dict(tiny_model_keys(), num_dec_layers=2,
+               decoder_fusion_start_at=0, image_res=32, max_length=6,
+               gradient_checkpointing=True)
+    model, _ = build_model(cfg, tok)
+    images = jnp.zeros((2, 32, 32, 3), jnp.float32)
+    params = model.init({"params": jax.random.PRNGKey(0)},
+                        images=images,
+                        text_ids=jnp.ones((2, 6), jnp.int32),
+                        text_atts=jnp.ones((2, 6), jnp.int32),
+                        method=model.init_all)["params"]
+    seqs, _ = generate(model, {"params": params}, images, bos_id=1,
+                       eos_id=2, pad_id=0, max_len=6, greedy=True)
+    assert np.asarray(seqs).shape == (2, 6)
+
+    # training step under remat still differentiates
+    def loss(p):
+        return model.apply({"params": p}, images,
+                           jnp.ones((2, 6), jnp.int32),
+                           jnp.ones((2, 6), jnp.int32), train=True)
+
+    g = jax.grad(loss)(params)
+    assert jax.tree_util.tree_all(
+        jax.tree.map(lambda x: bool(jnp.all(jnp.isfinite(x))), g))

@@ -125,8 +125,19 @@ class DropPath(nn.Module):
         return jnp.where(mask, x / keep, 0.0)
 
 
+def _rescaled_init(layer_id: int):
+    """trunc_normal(0.02) divided by sqrt(2·layer) — the reference's
+    fix_init_weight applied AS the initializer (reference
+    models/beit2.py:327-333 rescales attn.proj / mlp.fc2 in place after
+    trunc_normal init; layer_id is 1-based)."""
+    import math
+
+    return nn.initializers.truncated_normal(0.02 / math.sqrt(2.0 * layer_id))
+
+
 class BeitAttention(nn.Module):
     config: VisionConfig
+    layer_id: int = 1  # 1-based block index, for the proj init rescale
 
     @nn.compact
     def __call__(self, x, rel_pos_bias=None, attn_bias=None,
@@ -179,7 +190,8 @@ class BeitAttention(nn.Module):
                 q, k, v, bias=bias, dropout_rate=c.attn_drop_rate,
                 dropout_rng=drop_rng, deterministic=deterministic)
             out = out.reshape(B, N, C)
-        out = nn.Dense(C, name="proj", dtype=c.dtype)(out)
+        out = nn.Dense(C, name="proj", dtype=c.dtype,
+                       kernel_init=_rescaled_init(self.layer_id))(out)
         out = nn.Dropout(c.drop_rate)(out, deterministic=deterministic)
         return out
 
@@ -187,6 +199,7 @@ class BeitAttention(nn.Module):
 class BeitBlock(nn.Module):
     config: VisionConfig
     drop_path: float = 0.0
+    layer_id: int = 1  # 1-based, for the fix_init_weight proj/fc2 rescale
 
     @nn.compact
     def __call__(self, x, rel_pos_bias=None, attn_bias=None,
@@ -205,8 +218,8 @@ class BeitBlock(nn.Module):
 
         h = nn.LayerNorm(epsilon=c.layer_norm_eps, name="norm1",
                          dtype=c.dtype)(x)
-        h = BeitAttention(c, name="attn")(h, rel_pos_bias, attn_bias,
-                                          deterministic)
+        h = BeitAttention(c, layer_id=self.layer_id, name="attn")(
+            h, rel_pos_bias, attn_bias, deterministic)
         if use_ls:
             h = gamma_1.astype(h.dtype) * h
         # residual add + norm2 through ops/fused_ln.py (one Pallas pass
@@ -220,7 +233,8 @@ class BeitBlock(nn.Module):
         from .text_encoder import ACT
 
         h = ACT[c.hidden_act](h)
-        h = nn.Dense(C, name="fc2", dtype=c.dtype)(h)
+        h = nn.Dense(C, name="fc2", dtype=c.dtype,
+                     kernel_init=_rescaled_init(self.layer_id))(h)
         h = nn.Dropout(c.drop_rate)(h, deterministic=deterministic)
         if use_ls:
             h = gamma_2.astype(h.dtype) * h
@@ -260,7 +274,7 @@ class BeitVisionTransformer(nn.Module):
             block_cls = nn.remat(BeitBlock, static_argnums=(4,),
                                  policy=remat_policy(c.remat_policy))
         self.blocks = [block_cls(c, drop_path=float(dpr[i]),
-                                 name=f"block_{i}")
+                                 layer_id=i + 1, name=f"block_{i}")
                        for i in range(c.depth)]
         if c.use_mean_pooling:
             self.fc_norm = nn.LayerNorm(epsilon=c.layer_norm_eps,
@@ -332,14 +346,16 @@ class BeitVisionTransformer(nn.Module):
         per entry of ``layer_ids`` (default: every block)."""
         x = self.embed(images, None, deterministic)
         shared_rpb = self._shared_rpb(x.shape[1])
-        want = set(range(len(self.blocks)) if layer_ids is None
-                   else layer_ids)
-        outs = []
+        ids = (list(range(len(self.blocks))) if layer_ids is None
+               else list(layer_ids))
+        by_block = {}
         for i, blk in enumerate(self.blocks):
             x = blk(x, shared_rpb, None, deterministic)
-            if i in want:
-                outs.append(x[:, 1:, :])
-        return outs
+            if i in ids:
+                by_block[i] = x[:, 1:, :]
+        # honor the caller's layer_ids ORDER (and duplicates): distillation
+        # targets are paired positionally with these outputs
+        return [by_block[i] for i in ids]
 
     def pair(self, images, mask, deterministic=True):
         """Full + MIM-masked forward as ONE 2B-row pass.

@@ -92,6 +92,14 @@ class ClipVisionTransformer(nn.Module):
 
     def __call__(self, images, mask=None, idx_to_group_img=None,
                  image_atts=None, deterministic=True):
+        if mask is not None:
+            # MIM masking is a BEiT-2 capability (its mask token is part of
+            # the architecture); the reference clip_vit forward takes no
+            # mask either (reference models/clip_vit.py:331). Silently
+            # ignoring it would make get_mim_loss MSE(x, stop_grad(x)) = 0.
+            raise NotImplementedError(
+                "CLIP-ViT has no MIM mask path — use the BEiT-2 backbone "
+                "for ret_mim / use_vision_tokenizer pretraining")
         c = self.config
         patches = extract_patches(images.astype(c.dtype), c.patch_size)
         x = patches @ self.patch_kernel.astype(c.dtype)  # CLIP conv has no bias

@@ -92,12 +92,20 @@ class DeitVisionTransformer(nn.Module):
         self.norm = nn.LayerNorm(epsilon=c.layer_norm_eps, name="norm",
                                  dtype=c.dtype)
 
-    def __call__(self, images, mask=None, register_blk: int = -1,
+    def __call__(self, images, mask=None, idx_to_group_img=None,
+                 image_atts=None, register_blk: int = -1,
                  prob_gate: Optional[jnp.ndarray] = None,
                  deterministic=True):
         """`register_blk`/`prob_gate` mirror the GradCAM hook registration of
         reference models/vit.py:74,51-57: the gate multiplies the attention
-        probabilities of that block only."""
+        probabilities of that block only. The legacy DeiT backbone (like the
+        reference models/vit.py forward) has no MIM-mask or region mode —
+        XFMBase.get_vision_embeds always passes those kwargs, so they are
+        accepted and rejected loudly when set."""
+        if mask is not None or idx_to_group_img is not None:
+            raise NotImplementedError(
+                "DeiT (use_deit) has no MIM mask or region mode — use the "
+                "BEiT-2 backbone (reference models/vit.py has neither)")
         c = self.config
         x = extract_patches(images.astype(c.dtype), c.patch_size)
         x = x @ self.patch_kernel.astype(c.dtype) + \

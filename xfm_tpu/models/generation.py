@@ -245,11 +245,17 @@ def generate(model: XFMForCaptioning, variables, images, *, bos_id: int,
              eos_id: int, pad_id: int, max_len: int = 20,
              min_len: int = 0, greedy: bool = True, temperature: float = 1.0,
              top_k: int = 0, top_p: float = 1.0,
-             rng: Optional[jax.Array] = None, num_return_sequences: int = 1):
+             rng: Optional[jax.Array] = None, num_return_sequences: int = 1,
+             prompt_ids: tuple = ()):
     """Greedy/sampled decoding with the KV cache threaded through a
     lax.scan (reference OSCAR-style loop, models/xbert.py:1393-1484),
     compiled ONCE per (model, shapes, decode-config): an eager lax.scan
     would re-trace on every call (measured 17 s/batch vs sub-second jitted).
+
+    `prompt_ids` (training-time prompt tokens, no specials) are forced into
+    the first len(prompt_ids) output slots — the decoder conditions on the
+    same prefix it was fine-tuned with (reference
+    models/model_generation.py:323-347); callers strip those slots.
 
     Returns (sequences [B*n, max_len], per-token logprobs [B*n, max_len])
     — logprobs feed SCST (reference Captioning_scst.py:41-96).
@@ -260,7 +266,8 @@ def generate(model: XFMForCaptioning, variables, images, *, bos_id: int,
                          bos_id=bos_id, eos_id=eos_id, pad_id=pad_id,
                          max_len=max_len, min_len=min_len, greedy=greedy,
                          temperature=temperature, top_k=top_k, top_p=top_p,
-                         num_return_sequences=num_return_sequences)
+                         num_return_sequences=num_return_sequences,
+                         prompt_ids=tuple(prompt_ids))
 
 
 from functools import partial as _partial  # noqa: E402
@@ -269,10 +276,11 @@ from functools import partial as _partial  # noqa: E402
 @_partial(jax.jit, static_argnames=("model", "bos_id", "eos_id", "pad_id",
                                     "max_len", "min_len", "greedy",
                                     "temperature", "top_k", "top_p",
-                                    "num_return_sequences"))
+                                    "num_return_sequences", "prompt_ids"))
 def _generate_jit(model, params, images, rng, *, bos_id, eos_id, pad_id,
                   max_len, min_len=0, greedy=True, temperature=1.0,
-                  top_k=0, top_p=1.0, num_return_sequences=1):
+                  top_k=0, top_p=1.0, num_return_sequences=1,
+                  prompt_ids=()):
     variables = {"params": params}
     image_embeds = model.apply({"params": params}, images,
                                method=XFMForCaptioning.encode_images)
@@ -283,6 +291,12 @@ def _generate_jit(model, params, images, rng, *, bos_id, eos_id, pad_id,
 
     if rng is None:
         rng = jax.random.PRNGKey(0)
+
+    # prompt forcing (reference models/model_generation.py:323-347: the
+    # decoder is seeded with the training-time prompt tokens; callers strip
+    # the first len(prompt_ids) slots before scoring)
+    P = len(prompt_ids)
+    prompt_arr = jnp.asarray(prompt_ids, jnp.int32) if P else None
 
     def select(logits, done, rng, pos):
         logits = logits.astype(jnp.float32) / temperature
@@ -300,6 +314,12 @@ def _generate_jit(model, params, images, rng, *, bos_id, eos_id, pad_id,
         else:
             nxt = jax.random.categorical(rng, logp, axis=-1)
         tok_logp = jnp.take_along_axis(logp, nxt[:, None], axis=-1)[:, 0]
+        if P:
+            # sequence slot pos-1 (0-based, after BOS) is prompt-forced
+            forced = pos <= P
+            nxt = jnp.where(forced,
+                            prompt_arr[jnp.clip(pos - 1, 0, P - 1)], nxt)
+            tok_logp = jnp.where(forced, 0.0, tok_logp)
         nxt = jnp.where(done, pad_id, nxt)
         tok_logp = jnp.where(done, 0.0, tok_logp)
         done = done | (nxt == eos_id)
@@ -333,25 +353,30 @@ def _generate_jit(model, params, images, rng, *, bos_id, eos_id, pad_id,
 def beam_generate(model: XFMForCaptioning, variables, images, *, bos_id: int,
                   eos_id: int, pad_id: int, max_len: int = 20,
                   min_len: int = 0, num_beams: int = 3,
-                  length_penalty: float = 1.0):
+                  length_penalty: float = 1.0, prompt_ids: tuple = ()):
     """Beam search with the KV cache reordered per step
     (reference HF beam path, models/xbert.py:1368-1391 `_reorder_cache`).
 
     Whole search compiles once per (model, shapes, beam-config); cache
-    leaves are gathered along the beam dimension each step. Returns best
-    sequences [B, max_len]."""
+    leaves are gathered along the beam dimension each step. `prompt_ids`
+    are forced into the first slots of every beam (beams diverge at the
+    first free step, exactly like HF's prompt-seeded search — reference
+    models/model_generation.py:323-347). Returns best sequences
+    [B, max_len]."""
     return _beam_generate_jit(model, variables["params"], images,
                               bos_id=bos_id, eos_id=eos_id, pad_id=pad_id,
                               max_len=max_len, min_len=min_len,
                               num_beams=num_beams,
-                              length_penalty=length_penalty)
+                              length_penalty=length_penalty,
+                              prompt_ids=tuple(prompt_ids))
 
 
 @_partial(jax.jit, static_argnames=("model", "bos_id", "eos_id", "pad_id",
                                     "max_len", "min_len", "num_beams",
-                                    "length_penalty"))
+                                    "length_penalty", "prompt_ids"))
 def _beam_generate_jit(model, params, images, *, bos_id, eos_id, pad_id,
-                       max_len, min_len=0, num_beams=3, length_penalty=1.0):
+                       max_len, min_len=0, num_beams=3, length_penalty=1.0,
+                       prompt_ids=()):
     image_embeds = model.apply({"params": params}, images,
                                method=XFMForCaptioning.encode_images)
     B = image_embeds.shape[0]
@@ -368,7 +393,16 @@ def _beam_generate_jit(model, params, images, *, bos_id, eos_id, pad_id,
     if min_len > 1:  # cur_len incl. bos is 1 here (HF min_length semantics)
         logp = logp.at[:, eos_id].set(-1e9)
     V = logp.shape[-1]
+    P = len(prompt_ids)
+    prompt_arr = jnp.asarray(prompt_ids, jnp.int32) if P else None
     scores0, tok0 = jax.lax.top_k(logp, K)                # [B, K]
+    if P:
+        # prompt-forced slots: all beams share the prefix; only beam 0
+        # carries a live score so the first FREE step's top-k expands K
+        # distinct candidates from it (no duplicate-beam collapse)
+        tok0 = jnp.full((B, K), prompt_ids[0], jnp.int32)
+        scores0 = jnp.broadcast_to(
+            jnp.asarray([0.0] + [-1e9] * (K - 1), jnp.float32), (B, K))
 
     def gather_beams(tree, beam_idx):
         def one(x):
@@ -401,6 +435,16 @@ def _beam_generate_jit(model, params, images, *, bos_id, eos_id, pad_id,
         new_scores, idx = jax.lax.top_k(flat, K)
         beam_idx = idx // V
         new_tok = (idx % V).astype(jnp.int32)
+        if P:
+            # slot i+1 still inside the prompt: force the token on every
+            # beam, keep scores and beam order (identity reorder)
+            forced = (i + 1) < P
+            ftok = prompt_arr[jnp.clip(i + 1, 0, P - 1)]
+            new_tok = jnp.where(forced, ftok, new_tok)
+            new_scores = jnp.where(forced, scores, new_scores)
+            beam_idx = jnp.where(forced,
+                                 jnp.broadcast_to(jnp.arange(K), (B, K)),
+                                 beam_idx)
         cache = gather_beams(new_vars["cache"], beam_idx)
         seqs = gather_beams(seqs.reshape(B * K, -1),
                             beam_idx).reshape(B, K, -1)

@@ -46,6 +46,15 @@ class SwinConfig:
 
 def window_partition(x, ws):
     B, H, W, C = x.shape
+    if H % ws or W % ws:
+        # the reference's vendored Swin has no padding either (reference
+        # models/swin_transformer.py:36-47 requires divisibility); its
+        # configs pick window sizes that divide every stage (224/7, 384/12,
+        # 480/15). Fail with the recipe instead of an opaque reshape error.
+        raise ValueError(
+            f"stage resolution {H}x{W} is not divisible by window_size "
+            f"{ws}; pick a window size dividing image_res/patch_size and "
+            "all its /2 stage reductions (e.g. 224→7, 384→12, 480→15)")
     x = x.reshape(B, H // ws, ws, W // ws, ws, C)
     return x.transpose(0, 1, 3, 2, 4, 5).reshape(-1, ws * ws, C)
 
@@ -179,6 +188,12 @@ class SwinTransformer(nn.Module):
     @nn.compact
     def __call__(self, images, mask=None, idx_to_group_img=None,
                  image_atts=None, deterministic=True):
+        if mask is not None:
+            # the reference Swin forward takes no MIM mask either
+            # (reference models/swin_transformer.py:310); see clip_vit.py
+            raise NotImplementedError(
+                "Swin has no MIM mask path — use the BEiT-2 backbone for "
+                "ret_mim / use_vision_tokenizer pretraining")
         c = self.config
         patches = extract_patches(images.astype(c.dtype), c.patch_size)
         x = nn.Dense(c.embed_dim, name="patch_embed", dtype=c.dtype)(patches)

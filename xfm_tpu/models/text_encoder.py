@@ -230,9 +230,13 @@ class SelfAttention(nn.Module):
             cv.value = jax.lax.dynamic_update_slice(cv.value, v, (0, i, 0, 0))
             idx.value = i + Nq
             k, v = ck.value, cv.value
-            # Mask out cache positions beyond the current index.
+            # Mask cache positions beyond each query's own slot — causal
+            # WITHIN a multi-token chunk too (query row j sits at cache
+            # position i+j and may see positions <= i+j only; a flat
+            # `pos < i+Nq` bound would let chunk tokens attend forward)
             pos = jnp.arange(k.shape[1])[None, None, None, :]
-            valid = pos < (i + Nq)
+            qpos = i + jnp.arange(Nq)[None, None, :, None]
+            valid = pos <= qpos
             cbias = jnp.where(valid, 0.0, NEG_INF).astype(jnp.float32)
             attention_bias = cbias if attention_bias is None \
                 else attention_bias + cbias
@@ -310,7 +314,11 @@ class TextTransformer(nn.Module):
             # 'dots'/'except_attn' are selective (see ops.attention.remat_policy)
             from ..ops.attention import remat_policy
 
-            layer_cls = nn.remat(TransformerLayer, static_argnums=(5, 6),
+            # static: deterministic (5), decode (6), cross_from_cache (8)
+            # — cross_from_cache is a python bool branched on inside
+            # SelfAttention; threaded as a dynamic kwarg it would trace and
+            # raise TracerBoolConversionError on the KV-cached decode path
+            layer_cls = nn.remat(TransformerLayer, static_argnums=(5, 6, 8),
                                  policy=remat_policy(c.remat_policy))
         self.layers = [
             layer_cls(c, has_cross_attention=(i >= c.fusion_layer),
@@ -386,8 +394,6 @@ class TextTransformer(nn.Module):
             lo, hi = 0, c.num_hidden_layers
 
         extra = {}
-        if cross_from_cache:  # only thread when set: remat-wrapped layers
-            extra["cross_from_cache"] = True  # must not see extra kwargs
         if encoder_row_idx is not None:
             extra["encoder_row_idx"] = encoder_row_idx
         if c.seq_shard:
@@ -401,13 +407,10 @@ class TextTransformer(nn.Module):
                 enc, eb = enc_list[j], ebias_list[j]
             gate = cross_gate if (cross_gate is not None
                                   and i == cross_gate_layer) else None
-            if gate is not None:
-                x = layer(x, bias, enc, eb,
-                          deterministic, decode, cross_prob_gate=gate,
-                          **extra)
-            else:
-                x = layer(x, bias, enc, eb,
-                          deterministic, decode, **extra)
+            # cross_from_cache rides positionally so the remat wrapper can
+            # treat it as static (static_argnums only covers positionals)
+            x = layer(x, bias, enc, eb, deterministic, decode, gate,
+                      bool(cross_from_cache), **extra)
             if c.seq_shard:
                 x = constrain_seq_sharding(x)
         return x

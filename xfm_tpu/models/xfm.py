@@ -262,6 +262,10 @@ class XFMBase(nn.Module):
         if c.use_vision_tokenizer:
             self.mim_lm_head = nn.Dense(c.codebook_size, dtype=c.dtype)
         if c.vision_width != c.text_width:
+            # dead-by-parity: the reference creates fusion_proj and never
+            # applies it in any forward (reference models/xfm.py:538 is its
+            # only mention) — kept so width-mismatched reference checkpoints
+            # import/export losslessly; receives no gradient by design
             self.fusion_proj = nn.Dense(c.vision_width, dtype=c.dtype)
 
     def init_all(self, images, text_ids, text_atts):

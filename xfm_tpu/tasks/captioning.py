@@ -35,6 +35,24 @@ def _special_ids(tokenizer):
             getattr(tokenizer, "pad_token_id", 1) or 1)
 
 
+def prompt_token_ids(tokenizer, prompt: str) -> tuple:
+    """Prompt token ids without specials, for decode-time forcing
+    (reference models/model_generation.py:268-269,339: the decoder is
+    seeded with tokenizer(prompt).input_ids[:-1] = [CLS] + prompt tokens,
+    and decoded captions are stripped of the prompt)."""
+    if not prompt:
+        return ()
+    try:
+        ids = tokenizer(prompt)["input_ids"]
+    except Exception:
+        ids = tokenizer.encode(prompt)
+    ids = np.asarray(ids).reshape(-1).tolist()
+    specials = {getattr(tokenizer, a, None) for a in
+                ("bos_token_id", "cls_token_id", "sep_token_id",
+                 "eos_token_id", "pad_token_id")}
+    return tuple(int(i) for i in ids if i not in specials)
+
+
 def decode_ids(tokenizer, ids, eos_id, pad_id):
     toks = []
     for i in ids:
@@ -48,25 +66,31 @@ def decode_ids(tokenizer, ids, eos_id, pad_id):
 
 
 def generate_captions(model, variables, data: CaptioningData, tokenizer,
-                      max_len=20, min_len=0, num_beams=1):
+                      max_len=20, min_len=0, num_beams=1, prompt_ids=()):
     """Bulk caption generation: beam search when num_beams > 1 (reference
     Captioning.py:86-87 evaluates with config num_beams/min_length —
-    configs/xfm-ft/Captioning.yaml:32-35), greedy otherwise."""
+    configs/xfm-ft/Captioning.yaml:32-35), greedy otherwise. The decoder is
+    seeded with the training-time prompt and the forced slots are stripped
+    before scoring (reference models/model_generation.py:323-347)."""
     bos, eos, pad = _special_ids(tokenizer)
+    P = len(prompt_ids)
     results = []
     for batch in data.epoch():
         images = jnp.asarray(batch["images"])
         if num_beams > 1:
             seqs = beam_generate(model, variables, images, bos_id=bos,
                                  eos_id=eos, pad_id=pad, max_len=max_len,
-                                 min_len=min_len, num_beams=num_beams)
+                                 min_len=min_len, num_beams=num_beams,
+                                 prompt_ids=prompt_ids)
         else:
             seqs, _ = generate(model, variables, images, bos_id=bos,
                                eos_id=eos, pad_id=pad, max_len=max_len,
-                               min_len=min_len, greedy=True)
+                               min_len=min_len, greedy=True,
+                               prompt_ids=prompt_ids)
         for iid, seq in zip(batch["image_id"], np.asarray(seqs)):
             results.append({"image_id": int(iid),
-                            "caption": decode_ids(tokenizer, seq, eos, pad)})
+                            "caption": decode_ids(tokenizer, seq[P:],
+                                                  eos, pad)})
     return results
 
 
@@ -151,12 +175,14 @@ def main(args, config: Optional[dict] = None, scst: bool = False):
     if args.checkpoint:
         state = load_ckpt_into(state, mcfg, args.checkpoint)
 
+    pids = prompt_token_ids(tokenizer, cfg.get("prompt", ""))
     if args.evaluate:
         results = generate_captions(model, {"params": state.params},
                                     val_data, tokenizer,
                                     cfg.get("max_length", 20),
                                     min_len=cfg.get("min_length", 0),
-                                    num_beams=cfg.get("num_beams", 1))
+                                    num_beams=cfg.get("num_beams", 1),
+                                    prompt_ids=pids)
         path = collect_results(results, os.path.join(ctx.out_dir, "result"),
                                "caption_result")
         metrics = _score_captions(results, cfg)
@@ -188,7 +214,8 @@ def main(args, config: Optional[dict] = None, scst: bool = False):
     results = generate_captions(model, {"params": state.params}, val_data,
                                 tokenizer, cfg.get("max_length", 20),
                                 min_len=cfg.get("min_length", 0),
-                                num_beams=cfg.get("num_beams", 1))
+                                num_beams=cfg.get("num_beams", 1),
+                                prompt_ids=pids)
     metrics = _score_captions(results, cfg)
     append_log(ctx.out_dir, {"final": metrics})
     return metrics
@@ -207,6 +234,11 @@ def train_scst(ctx, cfg, model, state, train_data, tokenizer):
         raise ValueError("sc_baseline_type: sample needs sc_train_sample_n "
                          ">= 2 (leave-one-out baseline)")
     max_len = cfg.get("max_length", 20)
+    # decode with the training prompt; forced slots are stripped from the
+    # reward text and masked out of the policy gradient (reference
+    # model_generation.py:323-347 decodes from the prompt prefix)
+    pids = prompt_token_ids(tokenizer, cfg.get("prompt", ""))
+    P = len(pids)
 
     # group references per image for the reward
     refs = {}
@@ -229,6 +261,10 @@ def train_scst(ctx, cfg, model, state, train_data, tokenizer):
                                          jnp.int32), seqs], axis=1)
         logits = model.apply({"params": params}, images, full, method=run)
         labels = jnp.where(full == pad, -100, full)
+        if P:
+            # BOS + forced prompt slots are not policy choices
+            pos = jnp.arange(labels.shape[1])[None]
+            labels = jnp.where(pos <= P, -100, labels)
         return -shift_lm_loss(logits, labels)  # [B*n] total logp
 
     @jax.jit
@@ -250,7 +286,8 @@ def train_scst(ctx, cfg, model, state, train_data, tokenizer):
             if baseline_type == "greedy":
                 greedy_seqs, _ = generate(model, variables, images,
                                           bos_id=bos, eos_id=eos, pad_id=pad,
-                                          max_len=max_len, greedy=True)
+                                          max_len=max_len, greedy=True,
+                                          prompt_ids=pids)
             rng, sub = jax.random.split(rng)
             samp_seqs, _ = generate(model, variables, images, bos_id=bos,
                                     eos_id=eos, pad_id=pad, max_len=max_len,
@@ -258,15 +295,16 @@ def train_scst(ctx, cfg, model, state, train_data, tokenizer):
                                     top_k=int(cfg.get("sample_top_k", 0)),
                                     top_p=float(cfg.get("sample_top_p",
                                                         1.0)),
-                                    num_return_sequences=n_samples)
-            # CIDEr rewards on host
+                                    num_return_sequences=n_samples,
+                                    prompt_ids=pids)
+            # CIDEr rewards on host (forced prompt slots stripped)
             iids = [str(a) for a in batch.get("image_id",
                                               range(images.shape[0]))]
-            rew = _reward(cider, tokenizer, samp_seqs, iids, eos, pad,
-                          n_samples)
+            rew = _reward(cider, tokenizer, samp_seqs[:, P:], iids, eos,
+                          pad, n_samples)
             if baseline_type == "greedy":
-                base = _reward(cider, tokenizer, greedy_seqs, iids, eos,
-                               pad, 1)
+                base = _reward(cider, tokenizer, greedy_seqs[:, P:], iids,
+                               eos, pad, 1)
                 adv = rew - np.repeat(base, n_samples)
             else:
                 # 'sample' baseline: leave-one-out mean of the other
@@ -416,6 +454,7 @@ def main_infer(args, config=None):
     if args.checkpoint:
         state = load_ckpt_into(state, mcfg, args.checkpoint)
     bos, eos, pad = _special_ids(tokenizer)
+    pids = prompt_token_ids(tokenizer, cfg.get("prompt", ""))
     results = []
     bs = cfg.get("batch_size_test", 16)
     for s in range(0, len(files), bs):
@@ -429,16 +468,17 @@ def main_infer(args, config=None):
                                  bos_id=bos, eos_id=eos, pad_id=pad,
                                  max_len=cfg.get("max_length", 20),
                                  min_len=cfg.get("min_length", 0),
-                                 num_beams=nb)
+                                 num_beams=nb, prompt_ids=pids)
         else:
             seqs, _ = generate(model, variables, jnp.asarray(imgs),
                                bos_id=bos, eos_id=eos, pad_id=pad,
                                max_len=cfg.get("max_length", 20),
                                min_len=cfg.get("min_length", 0),
-                               greedy=True)
+                               greedy=True, prompt_ids=pids)
         for f, seq in zip(chunk, np.asarray(seqs)):
             results.append({"image": f,
-                            "caption": decode_ids(tokenizer, seq, eos,
+                            "caption": decode_ids(tokenizer,
+                                                  seq[len(pids):], eos,
                                                   pad)})
     out = os.path.join(ctx.out_dir, "captions.json")
     with open(out, "w") as f:

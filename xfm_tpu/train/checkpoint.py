@@ -574,7 +574,20 @@ def merge_params(init_params, imported):
     for k, v in flat_imp.items():
         if k in flat_init:
             tgt = flat_init[k]
-            arr = jnp.asarray(v, dtype=tgt.dtype).reshape(tgt.shape)
+            arr = jnp.asarray(v, dtype=tgt.dtype)
+            if arr.shape != tgt.shape:
+                # only squeeze/unsqueeze-style differences may be reshaped
+                # ([1,1,C] vs [C]); an equal-element-count reinterpretation
+                # (e.g. an untransposed [768,3072] into [3072,768]) would
+                # load row-major garbage with no error
+                def _sq(s):
+                    return tuple(d for d in s if d != 1)
+
+                if _sq(arr.shape) != _sq(tgt.shape):
+                    raise ValueError(
+                        f"shape mismatch for {k!r}: imported {arr.shape} "
+                        f"vs model {tgt.shape} — refusing to reinterpret")
+                arr = arr.reshape(tgt.shape)
             merged[k] = arr
     return (flax.traverse_util.unflatten_dict(merged, sep="/"), missing,
             unexpected)
