@@ -41,6 +41,25 @@ def test_meteor_penalty_for_fragmentation():
     assert contiguous > scrambled
 
 
+def test_meteor_synonym_stage_matches():
+    """Synonym-stage words (shared synset group) align like the jar's
+    WordNet module: 'photo'≈'picture', 'couch'≈'sofa'."""
+    refs = ["a picture of a sofa in a living room"]
+    with_syn = meteor_sentence("a photo of a couch in a living room", refs)
+    without = meteor_sentence("a xyzzy of a qwrt in a living room", refs)
+    exact = meteor_sentence("a picture of a sofa in a living room", refs)
+    assert with_syn == pytest.approx(exact)  # synonym matches count fully
+    assert with_syn > without
+
+
+def test_meteor_synonym_stage_ranks_below_unrelated_mismatch():
+    from xfm_tpu.eval.meteor_synonyms import synset_ids
+
+    assert synset_ids("kid") & synset_ids("child")
+    assert not (synset_ids("dog") & synset_ids("cat"))
+    assert synset_ids("nonexistentword") == frozenset()
+
+
 # ------------------------------------------------------------------ DeiT
 
 def test_deit_forward_and_gradcam_gate():

@@ -1,0 +1,65 @@
+"""ops/relpos.py: the one-hot-matmul rel-pos bias must be bit-exact with
+the reference's table gather (reference models/beit2.py:99-116, reference
+models/swin_transformer.py window bias)."""
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from xfm_tpu.models.beit2 import relative_position_index
+from xfm_tpu.models.swin import swin_rel_pos_index
+from xfm_tpu.ops.relpos import beit_rel_pos_bias, rel_pos_bias_2d
+
+
+@pytest.mark.parametrize("window", [(14, 14), (3, 5), (1, 4)])
+def test_beit_bias_matches_gather(window):
+    wh, ww = window
+    n = wh * ww + 1
+    h = 4
+    rng = np.random.default_rng(0)
+    table = rng.standard_normal(((2 * wh - 1) * (2 * ww - 1) + 3, h),
+                                dtype=np.float32)
+    idx = relative_position_index(window)
+    ref = table[idx.reshape(-1)].reshape(n, n, h).transpose(2, 0, 1)[None]
+    got = np.asarray(beit_rel_pos_bias(jnp.asarray(table), window))
+    assert got.shape == (1, h, n, n)
+    np.testing.assert_array_equal(got, ref)
+
+
+@pytest.mark.parametrize("ws", [7, 12])
+def test_swin_bias_matches_gather(ws):
+    h = 3
+    rng = np.random.default_rng(1)
+    table = rng.standard_normal(((2 * ws - 1) ** 2, h), dtype=np.float32)
+    idx = swin_rel_pos_index(ws)
+    ref = table[idx.reshape(-1)].reshape(ws * ws, ws * ws, h)
+    ref = ref.transpose(2, 0, 1)
+    got = np.asarray(rel_pos_bias_2d(jnp.asarray(table), ws, ws))
+    np.testing.assert_array_equal(got, ref)
+
+
+def test_beit_bias_grad_matches_gather():
+    """Table gradient through the matmul construction equals the
+    scatter-add gradient of the gather formulation."""
+    import jax
+
+    window = (4, 4)
+    wh, ww = window
+    n = wh * ww + 1
+    h = 2
+    rng = np.random.default_rng(2)
+    table = jnp.asarray(rng.standard_normal(
+        ((2 * wh - 1) * (2 * ww - 1) + 3, h), dtype=np.float32))
+    cot = jnp.asarray(rng.standard_normal((1, h, n, n), dtype=np.float32))
+    idx = relative_position_index(window)
+
+    def via_gather(t):
+        rpb = t[idx.reshape(-1)].reshape(n, n, h)
+        return jnp.sum(jnp.transpose(rpb, (2, 0, 1))[None] * cot)
+
+    def via_matmul(t):
+        return jnp.sum(beit_rel_pos_bias(t, window) * cot)
+
+    g_ref = jax.grad(via_gather)(table)
+    g_got = jax.grad(via_matmul)(table)
+    np.testing.assert_allclose(np.asarray(g_got), np.asarray(g_ref),
+                               rtol=0, atol=1e-5)

@@ -1,9 +1,11 @@
 """Caption evaluation: BLEU-1..4 + CIDEr-D + METEOR (replacing pycocoevalcap
 in reference dataset/utils.py:368-391 coco_caption_eval, utils/bleu.py, and
 the meteor-1.5 jar in refTools/evaluation/meteor — see eval/meteor.py for
-the reimplementation notes). SPICE needs a dependency parser + scene-graph
-models and is intentionally not provided; BLEU+CIDEr cover the headline
-numbers."""
+the reimplementation notes). SPICE needs a Java dependency parser +
+scene-graph models which cannot ship in-repo: when `pycocoevalcap` (with its
+SPICE jar) is installed the optional hook scores it, otherwise the eval dict
+carries an explicit `SPICE: None` + note so the omission is visible instead
+of silent."""
 from __future__ import annotations
 
 import math
@@ -112,4 +114,25 @@ def coco_caption_eval(hypos: Dict[str, str],
     out["CIDEr"] = cider_mean
     out["METEOR"] = meteor(hypos, refs)
     out["ROUGE_L"] = rouge_l(hypos, refs)
+    out.update(spice(hypos, refs))
     return out
+
+
+def spice(hypos: Dict[str, str], refs: Dict[str, List[str]]) -> dict:
+    """SPICE via the optional `pycocoevalcap` dependency (its bundled Java
+    scene-graph parser — the same path the reference uses through
+    refTools/pycocoevalcap, reference dataset/utils.py:384). When the
+    package (or its Java runtime) is unavailable the score is reported as
+    an explicit None + note rather than silently dropped."""
+    try:  # pragma: no cover - optional heavy dependency
+        from pycocoevalcap.spice.spice import Spice
+
+        gts = {k: list(v) for k, v in refs.items()}
+        res = {k: [h] for k, h in hypos.items()}
+        score, _ = Spice().compute_score(gts, res)
+        return {"SPICE": float(score)}
+    except Exception:
+        return {"SPICE": None,
+                "SPICE_note": ("not computed: SPICE needs the pycocoevalcap "
+                               "Java scene-graph parser (optional "
+                               "dependency, not installed)")}

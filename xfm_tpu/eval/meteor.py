@@ -3,10 +3,12 @@
 The reference scores METEOR through the Java jar in
 refTools/evaluation/meteor (meteor-1.5.jar, shelled out per corpus). This is
 a dependency-free reimplementation of the METEOR algorithm (Banerjee &
-Lavie 2005) with the exact- and stem-match stages; the synonym stage needs
-WordNet data, which is unavailable offline, so matches are exact ∪ stem.
-Scores therefore track (slightly under-estimate) meteor-1.5 — documented so
-downstream comparisons treat the absolute value accordingly.
+Lavie 2005) with exact-, stem-, and synonym-match stages. Synonymy uses
+NLTK WordNet when its corpus is installed (full fidelity with the jar's
+synonym module) and otherwise an embedded curated caption-domain synonym
+table (`meteor_synonyms.py`) — scores can still slightly under-estimate
+meteor-1.5 on out-of-domain text, documented so downstream comparisons
+treat the absolute value accordingly.
 
 Score: F_mean = 10·P·R / (R + 9·P); penalty = 0.5 · (chunks/matches)^3;
 METEOR = F_mean · (1 − penalty), corpus score = mean over captions (the
@@ -143,8 +145,9 @@ def porter_stem(word: str) -> str:
 
 
 def _align(hyp: List[str], ref: List[str]):
-    """Greedy two-stage alignment (exact then stem), each word used once.
-    Returns list of (hyp_idx, ref_idx) matches sorted by hyp_idx."""
+    """Greedy three-stage alignment (exact, stem, synonym — the meteor-1.5
+    module order), each word used once. Returns list of (hyp_idx, ref_idx)
+    matches sorted by hyp_idx."""
     matches = {}
     used_ref = set()
     # stage 1: exact
@@ -166,6 +169,22 @@ def _align(hyp: List[str], ref: List[str]):
             if j in used_ref:
                 continue
             if hs == rs:
+                matches[i] = j
+                used_ref.add(j)
+                break
+    # stage 3: synonym (shared synset) on the remainder
+    from .meteor_synonyms import synset_ids
+
+    for i, hw in enumerate(hyp):
+        if i in matches:
+            continue
+        hsyn = synset_ids(hw)
+        if not hsyn:
+            continue
+        for j, rw in enumerate(ref):
+            if j in used_ref:
+                continue
+            if hsyn & synset_ids(rw):
                 matches[i] = j
                 used_ref.add(j)
                 break

@@ -158,9 +158,11 @@ class BeitAttention(nn.Module):
             table = self.param(
                 "relative_position_bias_table", nn.initializers.zeros,
                 (num_relative_distance(window), H))
-            idx = relative_position_index(window)
-            rpb = table[idx.reshape(-1)].reshape(N, N, H)
-            rpb = jnp.transpose(rpb, (2, 0, 1))[None]  # [1, H, N, N]
+            from ..ops.relpos import beit_rel_pos_bias
+
+            # dense one-hot-matmul construction, bit-exact with the gather
+            # (ops/relpos.py) — the XLA gather was ~6 ms/step over 12 layers
+            rpb = beit_rel_pos_bias(table, window)     # [1, H, N, N]
             rel_pos_bias = rpb if rel_pos_bias is None else rel_pos_bias + rpb
 
         bias = rel_pos_bias
@@ -190,6 +192,9 @@ class BeitAttention(nn.Module):
                 q, k, v, bias=bias, dropout_rate=c.attn_drop_rate,
                 dropout_rng=drop_rng, deterministic=deterministic)
             out = out.reshape(B, N, C)
+        from ..ops.attention import name_attn_out
+
+        out = name_attn_out(out)  # saved by the 'attn_out' remat policy
         out = nn.Dense(C, name="proj", dtype=c.dtype,
                        kernel_init=_rescaled_init(self.layer_id))(out)
         out = nn.Dropout(c.drop_rate)(out, deterministic=deterministic)
@@ -389,10 +394,10 @@ class BeitVisionTransformer(nn.Module):
         c = self.config
         if not c.use_shared_rel_pos_bias:
             return None
-        idx = relative_position_index((c.grid_size, c.grid_size))
-        rpb = self.shared_rel_pos_table[idx.reshape(-1)]
-        rpb = rpb.reshape(n_tokens, n_tokens, c.num_heads)
-        return jnp.transpose(rpb, (2, 0, 1))[None]
+        from ..ops.relpos import beit_rel_pos_bias
+
+        return beit_rel_pos_bias(self.shared_rel_pos_table,
+                                 (c.grid_size, c.grid_size))
 
     def forward_localattn(self, images, idx_to_group_img, image_atts,
                           deterministic=True):

@@ -125,9 +125,11 @@ class SwinBlock(nn.Module):
         table = self.param("relative_position_bias_table",
                            nn.initializers.truncated_normal(0.02),
                            ((2 * ws - 1) ** 2, nH))
-        idx = swin_rel_pos_index(ws)
-        rpb = table[idx.reshape(-1)].reshape(ws * ws, ws * ws, nH)
-        bias = jnp.transpose(rpb, (2, 0, 1))[None]       # [1,H,ws²,ws²]
+        from ..ops.relpos import rel_pos_bias_2d
+
+        # dense one-hot-matmul construction (ops/relpos.py), bit-exact
+        # with table[swin_rel_pos_index(ws)]
+        bias = rel_pos_bias_2d(table, ws, ws)[None]      # [1,H,ws²,ws²]
         if shift > 0:
             amask = jnp.asarray(shift_attn_mask(H, W, ws, shift))
             nw = amask.shape[0]

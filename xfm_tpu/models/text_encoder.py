@@ -256,6 +256,9 @@ class SelfAttention(nn.Module):
             dropout_rng=drop_rng, deterministic=deterministic,
             prob_gate=prob_gate)
         ctx = ctx.reshape(B, Nq, c.hidden_size)
+        from ..ops.attention import name_attn_out
+
+        ctx = name_attn_out(ctx)  # saved by the 'attn_out' remat policy
 
         out = nn.Dense(c.hidden_size, name="attn_out", dtype=c.dtype)(ctx)
         out = nn.Dropout(c.hidden_dropout_prob)(out, deterministic=deterministic)

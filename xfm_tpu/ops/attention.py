@@ -49,13 +49,29 @@ def remat_policy(name: str):
                     backward recomputes just QK^T+softmax. Flash-attention
                     memory behavior with XLA's saved-everything-else speed —
                     measured the best batch-scaling policy on v5e.
+    'attn_out'    — save ONLY each layer's attention output ([B, N, C] per
+                    block, named in the attention modules): the backward
+                    recomputes the cheap LN/MLP/bias chain but never re-runs
+                    an attention forward kernel. Sits between 'full'
+                    (recompute all) and 'except_attn' (save most) — the
+                    selective policy for batch sizes past 48 at 327M.
     """
     if name == "dots":
         return jax.checkpoint_policies.dots_with_no_batch_dims_saveable
     if name == "except_attn":
         return jax.checkpoint_policies.save_anything_except_these_names(
             "attn_logits", "attn_probs")
+    if name == "attn_out":
+        return jax.checkpoint_policies.save_only_these_names("attn_out")
     return None
+
+
+def name_attn_out(x):
+    """Tag an attention-module output for the 'attn_out' remat policy
+    (identity outside a policied jax.checkpoint region)."""
+    from jax.ad_checkpoint import checkpoint_name
+
+    return checkpoint_name(x, "attn_out")
 
 
 def _xla_attention(q, k, v, bias, scale):

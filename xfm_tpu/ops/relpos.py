@@ -1,0 +1,77 @@
+"""Relative-position bias construction as dense one-hot matmuls.
+
+The reference materializes the per-layer rel-pos bias with a table gather
+(reference models/beit2.py:92-116 builds a [N, N] index and does
+``table[index.view(-1)]``; reference models/swin_transformer.py does the
+same per window). An XLA gather with ~39k scattered indices lowers to
+serialized row loads on TPU — profiled at ~6 ms/step across the 12 BEiT
+layers (PERF.md), recomputed again in the remat backward, plus a slower
+scatter-add for the table gradient.
+
+The rel-pos index is Toeplitz in each grid axis:
+``idx[(a,ci),(b,cj)] = (a-b+wh-1)·(2ww-1) + (ci-cj+ww-1)``, so the gather
+factors into two tiny one-hot matmuls over the (2w-1)-sized delta axes:
+
+    U[(a,b), dj, h]       = T2d[a-b+wh-1, dj, h]        (OH_r @ T2d)
+    V[(ci,cj), (a,b), h]  = U[(a,b), ci-cj+ww-1, h]     (OH_c @ U^T)
+
+Each one-hot row selects exactly one element, so with f32 operands and f32
+accumulation the result is **bit-exact** with the gather (0·x + 1·y = y for
+finite tables). FLOPs are trivial (~25 MF/layer); the cost is one [H, P, P]
+output write — dense, fused, and cheap in both forward and the autodiff
+backward (the table gradient becomes two transposed matmuls instead of an
+XLA scatter-add).
+"""
+from __future__ import annotations
+
+import functools
+
+import jax.numpy as jnp
+import numpy as np
+
+
+@functools.lru_cache(maxsize=8)
+def _onehot_delta(w: int) -> np.ndarray:
+    """OH[(a, b), d] = 1.0 where a - b + (w-1) == d; [w², 2w-1] f32."""
+    a = np.arange(w)
+    d = (a[:, None] - a[None, :]) + (w - 1)               # [w, w]
+    oh = np.zeros((w, w, 2 * w - 1), np.float32)
+    oh[a[:, None], a[None, :], d] = 1.0
+    return oh.reshape(w * w, 2 * w - 1)
+
+
+def rel_pos_bias_2d(table, wh: int, ww: int):
+    """Patch-patch rel-pos bias from the first (2wh-1)·(2ww-1) table rows.
+
+    table: [(2wh-1)·(2ww-1) (+ extras, ignored), H] — row-major over
+    (row-delta, col-delta), the BEiT/Swin layout. → [H, wh·ww, wh·ww] f32,
+    bit-exact with ``table[idx]`` for finite tables.
+    """
+    dh, dw = 2 * wh - 1, 2 * ww - 1
+    h = table.shape[-1]
+    t2d = table[: dh * dw].astype(jnp.float32).reshape(dh, dw * h)
+    u = jnp.asarray(_onehot_delta(wh)) @ t2d              # [wh², dw·H]
+    u = u.reshape(wh * wh, dw, h)
+    u = jnp.transpose(u, (1, 0, 2)).reshape(dw, wh * wh * h)
+    v = jnp.asarray(_onehot_delta(ww)) @ u                # [ww², wh²·H]
+    v = v.reshape(ww, ww, wh, wh, h)
+    v = jnp.transpose(v, (4, 2, 0, 3, 1))                 # [H, a, ci, b, cj]
+    return v.reshape(h, wh * ww, wh * ww)
+
+
+def beit_rel_pos_bias(table, window):
+    """Full BEiT-2 bias incl. the 3 cls rows (reference models/beit2.py:
+    99-116: row 0 = cls→all table[-3], col 0 = all→cls table[-2],
+    [0,0] = cls→cls table[-1]). table: [(2wh-1)(2ww-1)+3, H] →
+    [1, H, 1+wh·ww, 1+wh·ww] f32."""
+    wh, ww = window
+    h = table.shape[-1]
+    p = wh * ww
+    patch = rel_pos_bias_2d(table, wh, ww)                # [H, P, P]
+    t = table[-3:].astype(jnp.float32)                    # [3, H]
+    c2a = jnp.broadcast_to(t[0][:, None, None], (h, 1, p))
+    a2c = jnp.broadcast_to(t[1][:, None, None], (h, p, 1))
+    cc = t[2][:, None, None]                              # [H, 1, 1]
+    row0 = jnp.concatenate([cc, c2a], axis=2)             # [H, 1, 1+P]
+    rest = jnp.concatenate([a2c, patch], axis=2)          # [H, P, 1+P]
+    return jnp.concatenate([row0, rest], axis=1)[None]

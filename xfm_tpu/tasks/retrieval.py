@@ -131,7 +131,12 @@ def merge_rerank_scores(score_i2t, score_t2i):
         for s in range(0, mat.shape[0], chunk):
             part = np.asarray(multihost_utils.process_allgather(
                 mat[s:s + chunk]))
-            out[s:s + chunk] = part.sum(axis=0) + shift
+            # f64 accumulation: f32 inputs are exact in f64, so
+            # owner + (P-1)·(-100) + (P-1)·100 reconstructs the owner's f32
+            # value BIT-exactly (an f32 sum would round through the ±100
+            # excursion, ~1e-5 error at |score|≈50)
+            acc = part.astype(np.float64).sum(axis=0) + shift
+            out[s:s + chunk] = acc.astype(mat.dtype)
         return out
 
     return merge(score_i2t), merge(score_t2i)
