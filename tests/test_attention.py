@@ -189,3 +189,45 @@ def test_packed_batch_blocked_matches_xla():
                                atol=5e-3, rtol=1e-2)
     np.testing.assert_allclose(np.asarray(db), np.asarray(db_ref),
                                atol=5e-3, rtol=1e-2)
+
+
+@pytest.mark.parametrize("bias_shape", [None, "relpos", "mask"])
+def test_blocked_q_backward_long_sequence(bias_shape):
+    """N past ~600 splits the backward's q dimension into blocks (scoped
+    VMEM; dk/dv per-block partials summed outside, db per-(h, q-block)
+    accumulation) — the 384/480px fine-tune regime. Parity vs XLA."""
+    from xfm_tpu.ops.flash_attention import _pick_bwd_blk_q
+
+    B, N, H, D = 1, 600, 2, 16
+    assert _pick_bwd_blk_q(N, 640, 8) < 600  # the blocked path engages
+    q = rand((B, N, H, D), 0)
+    k = rand((B, N, H, D), 1)
+    v = rand((B, N, H, D), 2)
+    bias = None
+    if bias_shape == "relpos":
+        bias = rand((1, H, N, N), 3) * 0.1
+    elif bias_shape == "mask":
+        bias = mask_to_bias(jnp.ones((B, N), jnp.int32).at[:, 580:].set(0))
+    scale = D ** -0.5
+
+    def loss_flash(q, k, v, bias):
+        return jnp.sum(flash_attention(q, k, v, bias, scale, True) ** 2)
+
+    def loss_ref(q, k, v, bias):
+        return jnp.sum(_xla_reference(q, k, v, bias, scale) ** 2)
+
+    argnums = (0, 1, 2) + ((3,) if bias is not None else ())
+    gf = jax.grad(loss_flash, argnums=argnums)(q, k, v, bias)
+    gr = jax.grad(loss_ref, argnums=argnums)(q, k, v, bias)
+    for a, b in zip(gr, gf):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=5e-3,
+                                   rtol=1e-2)
+
+
+def test_fwd_blk_q_minimizes_padding():
+    from xfm_tpu.ops.flash_attention import _pick_blk_q
+
+    assert _pick_blk_q(197, 16) == 208     # single block, sublane-rounded
+    assert _pick_blk_q(577, 16) == 304     # 2 blocks of 304, not 2x512
+    assert _pick_blk_q(901, 16) == 464     # 2 blocks
+    assert _pick_blk_q(512, 16) == 512

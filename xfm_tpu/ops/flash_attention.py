@@ -136,11 +136,21 @@ def _bias_spec(bias, blk_q, Nkp, order):
     return pl.BlockSpec((1, 1, bqs, Nkp), bmap)
 
 
+def _pick_blk_q(Nq: int, sub: int, cap: int = 512) -> int:
+    """Largest q-block ≤ cap that minimizes padded rows: split Nq into the
+    fewest blocks, then round the even split up to the sublane multiple
+    (577 → 2 blocks of 304 = 608 rows, not 2×512 = 1024)."""
+    if Nq <= cap:
+        return _round_up(Nq, sub)
+    nblk = -(-Nq // cap)
+    return _round_up(-(-Nq // nblk), sub)
+
+
 def _fused_attention_fwd_impl(q, k, v, bias, scale, interpret=False):
     B, Nq, H, D = q.shape
     Nk = k.shape[1]
     sub = 16 if q.dtype == jnp.bfloat16 else 8
-    blk_q = min(512, _round_up(Nq, sub))
+    blk_q = _pick_blk_q(Nq, sub)
     Nqp = _round_up(Nq, blk_q)
     Nkp = _round_up(Nk, 128)
 
@@ -198,15 +208,19 @@ def _fused_attention_fwd_impl(q, k, v, bias, scale, interpret=False):
 def _attn_bwd_kernel(q_ref, k_ref, v_ref, do_ref, dq_ref, dk_ref, dv_ref,
                      *, scale, nk_valid, has_bias,
                      bias_ref=None, db_ref=None, db_accumulate=False,
-                     db_init_axis0=False, db_q_full=True):
+                     db_init_axis0=False, db_init_axis1=False,
+                     db_q_full=True, partial_kv=False):
     """One-pass attention backward for one (h, q-block, b): recomputes
     P = softmax(QK^T·scale + bias) in VMEM, then
     dV = P^T dO; dP = dO V^T; dS = P ⊙ (dP − rowsum(P⊙dP));
     dQ = dS·K·scale; dK = dS^T·(Q·scale); dB = dS (reduced to bias shape).
 
-    Single q-block per (b, h) assumed (X-FM sequences ≤ 901 tokens): dk/dv
-    are written once, db accumulates along the innermost B sweep while its
-    block stays VMEM-resident."""
+    Small sequences run a single q-block per (b, h): dk/dv are written
+    once, db accumulates along the innermost B sweep while its block stays
+    VMEM-resident. Long sequences (scratch wouldn't fit scoped VMEM) run
+    multiple q-blocks: each block writes its dk/dv contribution to a
+    per-block f32 partial slot (`partial_kv`, summed by the caller) and db
+    blocks are per-(h, q-block), still B-accumulated."""
     q = _sq(q_ref)
     k = _sq(k_ref)
     v = _sq(v_ref)
@@ -235,18 +249,24 @@ def _attn_bwd_kernel(q_ref, k_ref, v_ref, do_ref, dq_ref, dk_ref, dv_ref,
                              preferred_element_type=jnp.float32)
 
     dq_ref[0, 0] = dq.astype(dq_ref.dtype)
-    dk_ref[0, 0] = dk.astype(dk_ref.dtype)
-    dv_ref[0, 0] = dv.astype(dv_ref.dtype)
+    if partial_kv:
+        dk_ref[0, 0, 0] = dk.astype(dk_ref.dtype)
+        dv_ref[0, 0, 0] = dv.astype(dv_ref.dtype)
+    else:
+        dk_ref[0, 0] = dk.astype(dk_ref.dtype)
+        dv_ref[0, 0] = dv.astype(dv_ref.dtype)
 
     if has_bias and db_ref is not None:
         contrib = ds if db_q_full else jnp.sum(ds, axis=0, keepdims=True)
         if db_accumulate:
             # db block stays VMEM-resident along the innermost grid axis
-            # (and, for fully-broadcast bias, the outer axis too): init on
-            # first visit, accumulate after.
+            # (and, for bias dims it is broadcast over, the outer/middle
+            # axes too): init on first visit, accumulate after.
             init = pl.program_id(2) == 0
             if db_init_axis0:
                 init = jnp.logical_and(init, pl.program_id(0) == 0)
+            if db_init_axis1:
+                init = jnp.logical_and(init, pl.program_id(1) == 0)
 
             @pl.when(init)
             def _():
@@ -257,15 +277,32 @@ def _attn_bwd_kernel(q_ref, k_ref, v_ref, do_ref, dq_ref, dk_ref, dv_ref,
             db_ref[0, 0] = contrib.astype(db_ref.dtype)
 
 
+def _pick_bwd_blk_q(Nq: int, Nkp: int, sub: int) -> int:
+    """Single q-block when its scoped-VMEM scratch fits (the exact
+    small-seq path); otherwise the largest even split that keeps ~4 f32
+    score-shaped mats + double-buffered bias/db blocks under ~9 MB."""
+    full = _round_up(Nq, sub)
+    budget = 9 * 1024 * 1024
+    if 8 * full * Nkp * 4 <= budget:
+        return full
+    cap = max(sub, budget // (8 * Nkp * 4) // sub * sub)
+    return _pick_blk_q(Nq, sub, cap=cap)
+
+
 def _fused_attention_bwd_impl(q, k, v, bias, scale, g, interpret=False):
     """→ (dq, dk, dv, db) with db already reduced to the bias' broadcast
-    shape (padded cols trimmed). Layout mirrors the forward."""
+    shape (padded cols trimmed). Layout mirrors the forward. Long
+    sequences (N ≳ 600) split the q dimension into blocks: dk/dv come back
+    as per-block f32 partials summed here, db blocks are per-(h, q-block)
+    and still accumulate along the innermost batch sweep."""
     B, Nq, H, D = q.shape
     Nk = k.shape[1]
     sub = 16 if q.dtype == jnp.bfloat16 else 8
-    blk_q = _round_up(Nq, sub)  # single q-block (small-seq regime)
-    Nqp = blk_q
     Nkp = _round_up(Nk, 128)
+    blk_q = _pick_bwd_blk_q(Nq, Nkp, sub)
+    Nqp = _round_up(Nq, blk_q)
+    nq_blocks = Nqp // blk_q
+    multi_q = nq_blocks > 1
 
     qp = _prep(q, Nq, Nqp)
     kp = _prep(k, Nk, Nkp)
@@ -274,7 +311,7 @@ def _fused_attention_bwd_impl(q, k, v, bias, scale, g, interpret=False):
 
     order = _grid_order(bias)
     grid_of, to_bhi = _axes(order)
-    grid = grid_of(H, 1, B)
+    grid = grid_of(H, nq_blocks, B)
 
     def qmap(a0, i, a2):
         b, h, i = to_bhi(a0, i, a2)
@@ -287,18 +324,41 @@ def _fused_attention_bwd_impl(q, k, v, bias, scale, g, interpret=False):
     qspec = pl.BlockSpec((1, 1, blk_q, D), qmap)
     kvspec = pl.BlockSpec((1, 1, Nkp, D), kvmap)
 
+    if multi_q:
+        # per-q-block dk/dv partials (write-once, f32 — summed below);
+        # a dk block keyed (b, h) would be revisited NON-contiguously
+        # across the middle q-block axis, which Pallas accumulation does
+        # not support
+        def pkvmap(a0, i, a2):
+            b, h, i = to_bhi(a0, i, a2)
+            return (i, b, h, 0, 0)
+
+        kv_out_spec = pl.BlockSpec((1, 1, 1, Nkp, D), pkvmap)
+        kv_shape = jax.ShapeDtypeStruct((nq_blocks, B, H, Nkp, D),
+                                        jnp.float32)
+    else:
+        kv_out_spec = kvspec
+        kv_shape = jax.ShapeDtypeStruct((B, H, Nkp, D), k.dtype)
+
     # input-dtype grad outputs (single store per block, no accumulation):
     # bit-identical to writing f32 and casting after, half the HBM writes
     out_shapes = [
         jax.ShapeDtypeStruct((B, H, Nqp, D), q.dtype),   # dq
-        jax.ShapeDtypeStruct((B, H, Nkp, D), k.dtype),   # dk
-        jax.ShapeDtypeStruct((B, H, Nkp, D), v.dtype),   # dv
+        kv_shape,                                        # dk
+        jax.ShapeDtypeStruct(kv_shape.shape, kv_shape.dtype),  # dv
     ]
-    out_specs = [qspec, kvspec, kvspec]
+    out_specs = [qspec, kv_out_spec, kv_out_spec]
 
     has_bias = bias is not None
     if has_bias:
         bb, bh, bq, _ = bias.shape
+        if multi_q and bq == 1 and bb > 1 and bh > 1:
+            # full [B, H, 1, Nk] bias with a blocked q dim: db would need
+            # non-contiguous accumulation — no shipped model hits this;
+            # route through the XLA composition instead
+            raise NotImplementedError(
+                "blocked-q backward with a per-(batch, head) broadcast "
+                "bias is unsupported; disable the flash kernel here")
         bias_p = _bias_prep(bias, Nqp, Nkp, Nk)
         bspec = _bias_spec(bias, blk_q, Nkp, order)
         in_specs = [qspec, kvspec, kvspec, qspec, bspec]
@@ -318,7 +378,8 @@ def _fused_attention_bwd_impl(q, k, v, bias, scale, g, interpret=False):
                              db_ref=db_ref,
                              db_accumulate=(bb == 1 or bh == 1),
                              db_init_axis0=(bb == 1 and bh == 1),
-                             db_q_full=(bq > 1))
+                             db_init_axis1=(bq == 1 and multi_q),
+                             db_q_full=(bq > 1), partial_kv=multi_q)
     else:
         in_specs = [qspec, kvspec, kvspec, qspec]
         args = (qp, kp, vp, gp)
@@ -326,7 +387,7 @@ def _fused_attention_bwd_impl(q, k, v, bias, scale, g, interpret=False):
         def kernel(q_ref, k_ref, v_ref, do_ref, dq_ref, dk_ref, dv_ref):
             _attn_bwd_kernel(q_ref, k_ref, v_ref, do_ref, dq_ref, dk_ref,
                              dv_ref, scale=scale, nk_valid=Nk,
-                             has_bias=False)
+                             has_bias=False, partial_kv=multi_q)
 
     outs = pl.pallas_call(
         kernel,
@@ -341,8 +402,12 @@ def _fused_attention_bwd_impl(q, k, v, bias, scale, g, interpret=False):
         return jnp.swapaxes(x[:, :, :n], 1, 2)
 
     dq = unprep(outs[0], Nq)
-    dk = unprep(outs[1], Nk)
-    dv = unprep(outs[2], Nk)
+    if multi_q:
+        dk = unprep(outs[1].sum(axis=0).astype(k.dtype), Nk)
+        dv = unprep(outs[2].sum(axis=0).astype(v.dtype), Nk)
+    else:
+        dk = unprep(outs[1], Nk)
+        dv = unprep(outs[2], Nk)
     db = None
     if has_bias:
         bq = bias.shape[2]
@@ -448,7 +513,7 @@ def _tight_pad() -> bool:
     return os.environ.get("XFM_PACKED_TIGHT", "1") == "1"
 
 
-def _pick_g(B: int, Np: int, bwd: bool = False) -> int:
+def _pick_g(B: int, Np: int, bwd: bool = False, hpb: int = 2) -> int:
     """Batch rows per grid cell: amortizes per-cell overhead (measured
     ~1.4 us/cell vs ~0.1 us of matmul at B-per-cell=1, PERF.md). Largest
     divisor of B that keeps the cell inside VMEM. The G x hpb loop is
@@ -465,9 +530,22 @@ def _pick_g(B: int, Np: int, bwd: bool = False) -> int:
     # input-dtype grad outputs shrink the live stores and G=8 both fits and
     # measures fastest (250.8 vs 249.7 samples/s at G=4; G=12 ties, PERF.md)
     cap = 8 if bwd else 16
-    for g in (16, 12, 8, 6, 4, 3, 2):
-        if g <= cap and B % g == 0 and 4 * g * Np * 128 * 2 <= budget:
-            return g
+    # scoped-vmem stack model for the unrolled G x hpb loop's f32
+    # score-shaped intermediates (s/p/dp/ds in bwd, s/p in fwd). Calibrated
+    # on the known-good N=197 configs (bwd G=8, fwd G=16 fit) and the
+    # measured N=577 bwd overflow (G=4 x hpb=2 hit 18.3 MB vs the 16 MB
+    # stack limit): bwd limit 12 MB, fwd 24 MB under this (pessimistic)
+    # 4-live / 2-live per-iteration count.
+    live_limit = (12 if bwd else 24) * 1024 * 1024
+    per_iter = Np * Np * 4 * (4 if bwd else 2)
+    for g in (16, 12, 8, 6, 4, 3, 2, 1):
+        if g > cap or B % g:
+            continue
+        if 4 * g * Np * 128 * 2 > budget and g > 1:
+            continue
+        if g * hpb * per_iter > live_limit and g > 1:
+            continue
+        return g
     return 1
 
 
@@ -511,7 +589,7 @@ def _packed_fwd_impl(qkv, bias, scale, H, interpret=False):
         Np = max(Np, Nkp)
     qkv_p = jnp.pad(qkv, ((0, 0), (0, Np - N), (0, 0)))
 
-    G = _pick_g(B, Np)
+    G = _pick_g(B, Np, hpb=hpb)
     grid = (H // hpb, 1, B // G)  # batch innermost: bias block stays resident
     in_specs = _packed_specs(B, Np, Nkp, C, D, hpb, H, G)
 
@@ -547,7 +625,7 @@ def _packed_bwd_impl(qkv, bias, scale, H, g, interpret=False):
     qkv_p = jnp.pad(qkv, ((0, 0), (0, Np - N), (0, 0)))
     gp = jnp.pad(g, ((0, 0), (0, Np - N), (0, 0)))
 
-    G = _pick_g(B, Np, bwd=True)
+    G = _pick_g(B, Np, bwd=True, hpb=hpb)
     grid = (H // hpb, 1, B // G)
     in_specs = _packed_specs(B, Np, Nkp, C, D, hpb, H, G)
     gspec = pl.BlockSpec((G, Np, hpb * D), lambda hp, i, b: (b, 0, hp))
@@ -639,11 +717,17 @@ def packed_ok(qkv_shape, num_heads, bias, dtype) -> bool:
     if C % num_heads:
         return False
     D = C // num_heads
-    if D % 8 or 128 % D or num_heads % max(1, 128 // D):
+    hpb = max(1, 128 // D)
+    if D % 8 or 128 % D or num_heads % hpb:
         return False
-    # VMEM budget: scores/probs [Np, Np] f32 per head-in-flight + qkv blocks
-    Np = _round_up(N, 128)
-    if Np * Np * 4 * 4 + 3 * Np * 128 * 2 > 12 * 1024 * 1024:
+    # Scoped-VMEM budget for the BACKWARD (the binding side): per grid cell
+    # it holds an hpb-head bias block + the matching f32 db block + ≥4
+    # score-shaped scratch mats. Measured: N=577 (Np=592) hit 16.8-18.3 MB
+    # against the 16 MB stack even at G=1 → reject past ~N=500 and let the
+    # q-blocked unpacked kernel take over.
+    sub = 16 if dtype == jnp.bfloat16 else 8
+    Np = _round_up(N, sub) if _tight_pad() else _round_up(N, 128)
+    if (2 * hpb + 4) * Np * Np * 4 > 9 * 1024 * 1024:
         return False
     return True
 

@@ -64,8 +64,17 @@ def _pack(buf, tokenizer, transform, image_root, max_tokens):
 
 
 def main(args, config: Optional[dict] = None):
-    ctx = TaskContext.from_args(args)
+    # this task consumes parallel.pipe (text-only ablation only): the text
+    # tower stages over the pipe mesh axis via core.pipeline GPipe
+    ctx = TaskContext.from_args(args, allow_pipe=True)
     cfg = ctx.config
+    pipe = int((cfg.get("parallel", {}) or {}).get("pipe", 1))
+    if pipe > 1 and not cfg.get("use_text_classifier", False):
+        raise ValueError(
+            "parallel.pipe > 1 is consumed only by the text-only classifier "
+            "ablation (use_text_classifier: true) in this task; the "
+            "multimodal classifier shards over data/fsdp/tensor "
+            "(docs/SCALING.md)")
     image_res = cfg.get("image_res", 224)
     tokenizer = build_tokenizer_or_fallback(cfg)
     mcfg = _maybe_shrink_vocab(config_from_yaml(cfg), tokenizer)
@@ -111,10 +120,72 @@ def main(args, config: Optional[dict] = None):
                                     to_jax(import_xfm_checkpoint(sd, mcfg)))
         state = state.replace(params=params)
 
+    pipelined = None
+    if pipe > 1:
+        # GPipe-staged text tower (core/pipeline.py): layer stack lives
+        # one-stage-per-device along the pipe axis, microbatches stream
+        # through with ppermute; embeddings + MLP head run replicated.
+        # Same param tree as TextClassifier — checkpoints interchange.
+        from ..core.pipeline import pipelined_tower_forward
+        from ..models.text_encoder import cross_entropy
+        from ..models.xfm import MLPHead
+
+        tcfg = mcfg.text
+        if tcfg.fusion_layer != tcfg.num_hidden_layers:
+            raise ValueError(
+                "pipelined text classifier needs a pure self-attention "
+                "stack: set text_fusion_start_at == text_num_hidden_layers")
+        if tcfg.num_hidden_layers % pipe:
+            raise ValueError(f"{tcfg.num_hidden_layers} layers not "
+                             f"divisible into {pipe} pipeline stages")
+        micro = int((cfg.get("parallel") or {}).get("microbatches",
+                                                    2 * pipe))
+        data_axes = tuple(a for a in ("data", "fsdp")
+                          if ctx.mesh.shape.get(a, 1) > 1)
+        # each microbatch is further sharded over the data axes, so batches
+        # must divide by micro × (product of data-axis sizes)
+        _dshards = 1
+        for a in data_axes:
+            _dshards *= ctx.mesh.shape[a]
+        batch_multiple = micro * _dshards
+        head = MLPHead(num_labels, dtype=tcfg.dtype)
+
+        def pipelined(params, text_ids, text_atts):
+            with ctx.mesh:
+                hidden = pipelined_tower_forward(
+                    params["text_encoder"], tcfg, text_ids, text_atts,
+                    ctx.mesh, num_microbatches=micro, data_axes=data_axes)
+            return head.apply({"params": params["cls_head"]},
+                              hidden[:, 0, :])
+
+        def pipelined_loss(params, batch, rng):
+            pred = pipelined(params, batch["text_ids"], batch["text_atts"])
+            return cross_entropy(pred, batch["targets"]), {}
+
     tt_train = TrainTransform(image_res)
     tt_test = TestTransform(image_res)
 
     def evaluate(params):
+        if pipelined is not None:
+            @jax.jit
+            def pfwd(params, text_ids, text_atts):
+                return pipelined(params, text_ids, text_atts)
+
+            correct = total = 0
+            for b in batches(val_rows, tokenizer, tt_test,
+                             cfg.get("image_root"), T, bsz, shuffle=False,
+                             drop_last=False):
+                n = len(b["targets"])
+                pad = (-n) % batch_multiple  # microbatch + data-shard split
+                ids = np.pad(b["text_ids"], ((0, pad), (0, 0)),
+                             constant_values=1)
+                atts = np.pad(b["text_atts"], ((0, pad), (0, 0)))
+                pred = np.asarray(pfwd(params, jnp.asarray(ids),
+                                       jnp.asarray(atts)))[:n]
+                correct += int((pred.argmax(-1) == b["targets"]).sum())
+                total += n
+            return {"acc": correct / max(total, 1)}
+
         @jax.jit
         def fwd(params, **kw):
             return model.apply({"params": params}, train=False, **kw)
@@ -143,6 +214,10 @@ def main(args, config: Optional[dict] = None):
                            rngs={"dropout": rng}, **kw)
         return loss, {}
 
+    if pipelined is not None:
+        # pipelined path runs deterministic (no per-stage dropout rngs —
+        # acceptable for the ablation head; documented in docs/SCALING.md)
+        loss_fn = pipelined_loss
     step_fn = make_train_step(loss_fn)
     rng = task_rng(ctx)
     best = 0.0

@@ -32,7 +32,11 @@ class TaskContext:
     seed: int = 42
 
     @classmethod
-    def from_args(cls, args, overrides: Optional[dict] = None) -> "TaskContext":
+    def from_args(cls, args, overrides: Optional[dict] = None,
+                  allow_pipe: bool = False) -> "TaskContext":
+        """allow_pipe: tasks that actually consume the pipe mesh axis
+        (core.pipeline tower staging — currently the classify task's
+        text-only ablation) opt out of the pipe>1 guard below."""
         cfg = load_config(args.config, overrides)
         cfg = resolve_vision_config(
             cfg, config_root=os.path.join(os.path.dirname(os.path.dirname(
@@ -43,7 +47,8 @@ class TaskContext:
         if getattr(args, "epoch", None):
             sch = cfg.setdefault("schedular", {})
             sch["epochs"] = args.epoch
-        if int((cfg.get("parallel", {}) or {}).get("pipe", 1)) > 1:
+        if (not allow_pipe
+                and int((cfg.get("parallel", {}) or {}).get("pipe", 1)) > 1):
             # The pipe mesh axis is consumed by core.pipeline tower staging
             # (GPipe over shard_map); the task entrypoints shard over
             # data/fsdp/tensor only, so under GSPMD a pipe>1 group would
