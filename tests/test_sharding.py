@@ -228,7 +228,14 @@ def test_seq_shard_loss_matches_replicated(eight_devices):
 
 
 @pytest.mark.slow
-def test_no_involuntary_remat_on_3d_mesh(tmp_path):
+@pytest.mark.parametrize("shape", [
+    dict(hidden=128, layers=2, heads=4, inter=256, image_res=64, B=8),
+    # Sharding pathologies are shape-dependent (the r1 involuntary-remat bug
+    # only bit past certain sizes) — also compile a mid-size tower: 512-wide,
+    # 4 layers, 128px (N=65), B=16.
+    dict(hidden=512, layers=4, heads=8, inter=2048, image_res=128, B=16),
+], ids=["tiny", "mid"])
+def test_no_involuntary_remat_on_3d_mesh(tmp_path, shape):
     """Compiling the full pretrain train step on a dp2 x fsdp2 x tp2 mesh
     must emit NO '[SPMD] Involuntary full rematerialization' warnings
     (MULTICHIP_r01 regression: the 2B vision pair concat re-laid the batch
@@ -251,10 +258,10 @@ from xfm_tpu.train.optim import create_optimizer
 from xfm_tpu.train.schedules import linear_warmup_decay
 from xfm_tpu.train.train_state import TrainState
 mesh = make_mesh(jax.devices()[:8], data=2, fsdp=2, tensor=2)
-cfg = g._xfm_config(hidden=128, layers=2, heads=4, inter=256, image_res=64,
+cfg = g._xfm_config(hidden=%d, layers=%d, heads=%d, inter=%d, image_res=%d,
                     vocab=512, dtype=jnp.float32)
 model = XFMForPretrain(cfg)
-batch = g._batch(B=8, T=16, M=4, image_res=64,
+batch = g._batch(B=%d, T=16, M=4, image_res=cfg.vision.image_res,
                  num_patches=cfg.vision.num_patches, vocab=512)
 def init_params():
     return model.init({"params": jax.random.PRNGKey(1)}, batch["images"],
@@ -277,7 +284,9 @@ b = shard_batch(mesh, batch)
 with mesh:
     jax.jit(train_step).lower(state, b, jax.random.PRNGKey(0)).compile()
 print("compiled-ok")
-""" % os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+""" % ((os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+        shape["hidden"], shape["layers"], shape["heads"], shape["inter"],
+        shape["image_res"], shape["B"]))
     env = dict(os.environ,
                XLA_FLAGS="--xla_force_host_platform_device_count=8",
                JAX_PLATFORMS="cpu")
