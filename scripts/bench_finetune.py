@@ -74,11 +74,13 @@ def _emit(mode, value, unit, mfu=None, extra=None):
 
 
 def _train_harness(model, params, loss_fn, batch, iters):
-    from xfm_tpu.train.optim import create_optimizer
+    from xfm_tpu.train.optim import create_optimizer, with_master_weights
     from xfm_tpu.train.schedules import linear_warmup_decay
     from xfm_tpu.train.train_state import TrainState
 
     tx = create_optimizer(params, linear_warmup_decay(1e-4, 1000, 100))
+    if os.environ.get("XFM_BF16_PARAMS", "0") == "1":
+        tx = with_master_weights(tx)
     state = TrainState.create(params, tx)
 
     @partial(jax.jit, donate_argnums=(0,))
@@ -185,13 +187,128 @@ def vqa_train():
            "shared_cross_kv": os.environ.get("XFM_SHARED_CROSS_KV", "0")})
 
 
+def grounding_train():
+    """Grounding bbox-regression train step (reference Grounding_bbox.yaml:
+    384px, B=20, T=40; L1+GIoU on the fusion-cls bbox head — reference
+    Grounding_bbox.py, models/model_grounding.py). XFM_FT_RES=480 measures
+    the high-res variant."""
+    from xfm_tpu.models.task_models import XFMForGrounding
+
+    B = int(os.environ.get("XFM_FT_BATCH", "20"))
+    res_req = int(os.environ.get("XFM_FT_RES", "384"))
+    T = 40
+    cfg = _xfm_config(image_res=res_req)
+    model = XFMForGrounding(cfg)
+    res = cfg.vision.image_res
+    r = np.random.RandomState(0)
+    images = jnp.asarray(r.randn(B, res, res, 3), jnp.float32)
+    ids = jnp.asarray(r.randint(3, cfg.text.vocab_size - 1, (B, T)), jnp.int32)
+    atts = jnp.ones((B, T), jnp.int32)
+    cxcy = r.uniform(0.3, 0.7, (B, 2))
+    wh = r.uniform(0.1, 0.25, (B, 2))
+    target = jnp.asarray(np.concatenate([cxcy, wh], 1), jnp.float32)
+    params = model.init({"params": jax.random.PRNGKey(0)}, images, ids, atts,
+                        method=XFMForGrounding.init_all)["params"]
+
+    def loss_fn(p, batch, rng):
+        lb, lg = model.apply({"params": p}, *batch, train=True,
+                             deterministic=True)
+        return lb + lg, {}
+
+    iters = int(os.environ.get("XFM_FT_ITERS", "6"))
+    dt = _train_harness(model, params, loss_fn, (images, ids, atts, target),
+                        iters)
+
+    Nv = cfg.vision.num_patches + 1
+    fwd = (transformer_flops(12, 768, 3072, Nv, B)
+           + transformer_flops(12, 768, 3072, T, B)
+           + transformer_flops(12, 768, 3072, T, B, cross_kv=Nv))
+    mfu = 3 * fwd / dt / peak_flops_per_chip()
+    _emit(f"grounding_train_{res}px", B / dt, "samples/s/chip", mfu,
+          {"batch": B, "ms_per_step": round(dt * 1e3, 1),
+           "shared_cross_kv": os.environ.get("XFM_SHARED_CROSS_KV", "0")})
+
+
+def beit_large():
+    """beit2-large (1024×24, reference models/beit2.py:548 /
+    configs/model/config_beit2_large.json) vision tower fwd+bwd at 224px
+    with an avgpool classifier head — the ImageNet fine-tune shape at the
+    larger scale. XFM_BF16_PARAMS=1 A/Bs bf16 live params + fp32-master
+    optimizer (PERF.md's 'wins at larger models' claim); XFM_REMAT /
+    XFM_REMAT_POLICY for memory-bound batch sizes."""
+    import flax.linen as nn
+
+    from xfm_tpu.models.beit2 import BeitVisionTransformer, VisionConfig
+
+    B = int(os.environ.get("XFM_FT_BATCH", "32"))
+    res = int(os.environ.get("XFM_FT_RES", "224"))
+    n_cls = 1000
+    remat = os.environ.get("XFM_REMAT", "0") == "1"
+    kw = dict(
+        image_res=res, drop_path_rate=0.0, use_rel_pos_bias=True,
+        use_abs_pos_emb=False, init_values=0.1, qkv_bias=True,
+        use_mean_pooling=True, dtype=jnp.bfloat16,
+        hidden_act=os.environ.get("XFM_BENCH_ACT", "gelu"),
+        remat=remat,
+        remat_policy=os.environ.get("XFM_REMAT_POLICY", "full"))
+    if os.environ.get("XFM_FT_TINY", "0") == "1":
+        kw.update(image_res=min(res, 64))
+        vcfg = VisionConfig(embed_dim=64, depth=2, num_heads=2, **kw)
+        n_cls = 10
+    else:
+        vcfg = VisionConfig.beit_large(**kw)
+    res = vcfg.image_res
+
+    class Classifier(nn.Module):
+        @nn.compact
+        def __call__(self, images, deterministic=True):
+            h = BeitVisionTransformer(vcfg, name="vision")(
+                images, deterministic=deterministic)
+            return nn.Dense(n_cls, dtype=jnp.bfloat16, name="head")(
+                h[:, 0, :])
+
+    model = Classifier()
+    r = np.random.RandomState(0)
+    images = jnp.asarray(r.randn(B, res, res, 3), jnp.float32)
+    labels = jnp.asarray(r.randint(0, n_cls, (B,)), jnp.int32)
+    params = model.init({"params": jax.random.PRNGKey(0)},
+                        images[:1])["params"]
+    if os.environ.get("XFM_BF16_PARAMS", "0") == "1":
+        params = jax.tree.map(
+            lambda x: x.astype(jnp.bfloat16)
+            if x.dtype == jnp.float32 else x, params)
+
+    def loss_fn(p, batch, rng):
+        logits = model.apply({"params": p}, batch[0]).astype(jnp.float32)
+        lp = jax.nn.log_softmax(logits)
+        loss = -jnp.mean(jnp.take_along_axis(lp, batch[1][:, None],
+                                             axis=1))
+        return loss, {}
+
+    iters = int(os.environ.get("XFM_FT_ITERS", "6"))
+    dt = _train_harness(model, params, loss_fn, (images, labels), iters)
+
+    Nv = vcfg.num_patches + 1
+    fwd = transformer_flops(24, 1024, 4096, Nv, B)
+    mfu = 3 * fwd / dt / peak_flops_per_chip()
+    _emit(f"beit_large_{res}px", B / dt, "samples/s/chip", mfu,
+          {"batch": B, "ms_per_step": round(dt * 1e3, 1),
+           "bf16_params": os.environ.get("XFM_BF16_PARAMS", "0"),
+           "remat": os.environ.get("XFM_REMAT_POLICY", "none")
+           if remat else "none"})
+
+
 def retrieval_rerank():
-    """Eval stage 2: ITM logits over k_test=256 candidates per row at 384px
-    (reference Retrieval.py:141-152 — the eval cost center)."""
+    """Eval stage 2, i2t direction as the task runs it: `chunk` unique
+    images × k_test=256 text candidates each (reference Retrieval.py:141-152
+    — the eval cost center). XFM_EVAL_SHARED_KV=0 measures the reference's
+    repeat-the-image formulation; =1 (default) the unique-image + in-layer
+    k/v gather path (tasks/retrieval.py rerank_scores)."""
     from xfm_tpu.models.task_models import XFMForRetrieval
 
     k_test = int(os.environ.get("XFM_FT_KTEST", "256"))
     chunk = int(os.environ.get("XFM_FT_CHUNK", "8"))
+    shared = os.environ.get("XFM_EVAL_SHARED_KV", "1") == "1"
     T = 40
     cfg = _xfm_config(image_res=384)
     model = XFMForRetrieval(cfg)
@@ -199,9 +316,10 @@ def retrieval_rerank():
     Nv = cfg.vision.num_patches + 1
     # device-resident synthetic embeds: isolates the rerank ITM cost
     C = cfg.vision.embed_dim
-    img_embeds = jnp.asarray(r.randn(chunk * k_test, Nv, C), jnp.bfloat16)
+    img_embeds = jnp.asarray(r.randn(chunk, Nv, C), jnp.bfloat16)
     txt_embeds = jnp.asarray(r.randn(chunk * k_test, T, C), jnp.bfloat16)
     txt_atts = jnp.ones((chunk * k_test, T), jnp.int32)
+    row_idx = jnp.repeat(jnp.arange(chunk, dtype=jnp.int32), k_test)
     images = jnp.asarray(r.randn(2, cfg.vision.image_res,
                            cfg.vision.image_res, 3), jnp.float32)
     ids = jnp.ones((2, T), jnp.int32)
@@ -212,23 +330,30 @@ def retrieval_rerank():
     iters = int(os.environ.get("XFM_FT_ITERS", "4"))
 
     @jax.jit
-    def run(params, ie, te, ta):
+    def run(params, ie, te, ta, ri):
         def body(carry, _):
-            s = model.apply({"params": params}, ie, te, ta,
-                            method=XFMForRetrieval.itm_scores)
+            if shared:
+                s = model.apply({"params": params}, ie, te, ta,
+                                image_row_idx=ri,
+                                method=XFMForRetrieval.itm_scores)
+            else:
+                s = model.apply({"params": params},
+                                jnp.repeat(ie, k_test, axis=0), te, ta,
+                                method=XFMForRetrieval.itm_scores)
             return carry + jnp.sum(s), ()
 
         total, _ = jax.lax.scan(body, jnp.zeros((), jnp.float32),
                                 jnp.arange(iters))
         return total
 
-    dt = _time(lambda: run(params, img_embeds, txt_embeds, txt_atts), iters)
+    dt = _time(lambda: run(params, img_embeds, txt_embeds, txt_atts,
+                           row_idx), iters)
     rows = chunk  # one "row" = k_test candidate scores
     fwd = transformer_flops(12, 768, 3072, T, chunk * k_test, cross_kv=Nv)
     _emit("retrieval_rerank_384px", rows / dt, "rows/s/chip",
           fwd / dt / peak_flops_per_chip(),
-          {"k_test": k_test, "itm_forwards_per_s": round(
-              chunk * k_test / dt, 1)})
+          {"k_test": k_test, "shared_kv": int(shared),
+           "itm_forwards_per_s": round(chunk * k_test / dt, 1)})
 
 
 def vqa_rank():
@@ -313,6 +438,8 @@ def caption_decode():
 MODES = {
     "retrieval_train": retrieval_train,
     "vqa_train": vqa_train,
+    "grounding_train": grounding_train,
+    "beit_large": beit_large,
     "retrieval_rerank": retrieval_rerank,
     "vqa_rank": vqa_rank,
     "caption_decode": caption_decode,

@@ -562,6 +562,73 @@ def make_decode():
     print("decode fixture:", seq.numpy().tolist())
 
 
+class _Interp2DShim:
+    """scipy removed `interp2d` in 1.14; this is the documented bug-for-bug
+    replacement (RectBivariateSpline on a regular grid, s=0) so the
+    reference's `interpolate_pos_embed` (models/beit2.py:816-819) runs
+    unchanged. interp2d contract: z.shape == (len(y), len(x)),
+    f(dx, dy) -> (len(dy), len(dx))."""
+
+    def __init__(self, x, y, z, kind="cubic"):
+        from scipy.interpolate import RectBivariateSpline
+
+        k = {"linear": 1, "cubic": 3, "quintic": 5}[kind]
+        self._rbs = RectBivariateSpline(np.asarray(y), np.asarray(x),
+                                        np.asarray(z), kx=k, ky=k, s=0)
+
+    def __call__(self, dx, dy):
+        return self._rbs(np.asarray(dy), np.asarray(dx))
+
+
+def make_interpolation():
+    """Value-level fixtures for the resolution-change checkpoint surgery:
+    run the reference's `interpolate_pos_embed` (models/beit2.py:753-849 —
+    geometric-progression rel-pos-bias resample + bicubic abs-pos-embed
+    resample) at 224→384 and 224→480 on seeded tables, save inputs and
+    outputs. tests/test_interpolation_golden.py pins the importer's
+    `interpolate_rel_pos_bias_table` / `interpolate_abs_pos_embed` against
+    these."""
+    from functools import partial
+
+    import torch.nn as nn
+    from scipy import interpolate as _si
+
+    from models.beit2 import VisionTransformer, interpolate_pos_embed
+
+    if not getattr(_si.interp2d, "_is_shim", False):
+        _Interp2DShim._is_shim = True
+        _si.interp2d = _Interp2DShim
+
+    heads, C = 4, 32
+    r = np.random.RandomState(11)
+    src_win = 14                       # 224px / patch16
+    src_table = r.randn((2 * src_win - 1) ** 2 + 3, heads).astype(np.float32)
+    src_pos = r.randn(1, 1 + src_win * src_win, C).astype(np.float32)
+
+    save = {"src_table": src_table, "src_pos": src_pos}
+    for res in (384, 480):
+        dst = VisionTransformer(
+            img_size=res, patch_size=16, embed_dim=C, depth=1,
+            num_heads=heads, mlp_ratio=4, qkv_bias=True,
+            norm_layer=partial(nn.LayerNorm, eps=1e-6), init_values=0.1,
+            use_abs_pos_emb=True, use_rel_pos_bias=True,
+            use_mean_pooling=True, drop_path_rate=0.0)
+        ckpt = {
+            "blocks.0.attn.relative_position_bias_table":
+                torch.from_numpy(src_table.copy()),
+            "blocks.0.attn.relative_position_index":
+                torch.zeros(1, dtype=torch.long),  # popped by the reference
+            "pos_embed": torch.from_numpy(src_pos.copy()),
+        }
+        out = interpolate_pos_embed(dst, ckpt)
+        save[f"table_{res}"] = \
+            out["blocks.0.attn.relative_position_bias_table"].numpy()
+        save[f"pos_{res}"] = out["pos_embed"].numpy()
+        print(f"interpolation fixture {res}px:",
+              save[f"table_{res}"].shape, save[f"pos_{res}"].shape)
+    np.savez(os.path.join(OUT, "golden_interpolation.npz"), **save)
+
+
 def main():
     os.makedirs(OUT, exist_ok=True)
     install_stubs()
@@ -573,6 +640,7 @@ def main():
     make_clip_vit()
     make_swin()
     make_vqkd()
+    make_interpolation()
 
 
 if __name__ == "__main__":

@@ -48,7 +48,8 @@ def capture(mode: str, logdir: str) -> None:
             r.randint(3, cfg.text.vocab_size - 1, (B, A)), jnp.int32)
         a_atts = jnp.ones((B, A), jnp.int32)
         batch = (images, q_ids, q_atts, a_ids, a_atts,
-                 jnp.arange(B, dtype=jnp.int32), jnp.full((B,), 1.0))
+                 jnp.arange(B, dtype=jnp.int32),
+                 jnp.full((B,), 1.0, jnp.float32))
         params = model.init({"params": jax.random.PRNGKey(0)}, images, q_ids,
                             q_atts, method=XFMForVQA.init_all)["params"]
 
@@ -107,7 +108,15 @@ def capture(mode: str, logdir: str) -> None:
 
 
 def main():
-    mode = next((a for a in sys.argv[1:] if not a.startswith("--")),
+    # positional mode = first token that is neither a flag nor a flag value
+    # (--top takes one)
+    flag_values = set()
+    if "--top" in sys.argv:
+        i = sys.argv.index("--top")
+        if i + 1 < len(sys.argv):
+            flag_values.add(i + 1)
+    mode = next((a for i, a in enumerate(sys.argv) if i >= 1
+                 and not a.startswith("--") and i not in flag_values),
                 "vqa_train")
     top = 40
     if "--top" in sys.argv:
@@ -132,6 +141,8 @@ def main():
         print(f"# device union-busy {u / 1e9:.3f} ms / span "
               f"{span / 1e9:.3f} ms = {100 * u / span:.1f}% busy")
     total_ps = sum(totals.values())
+    if not total_ps:
+        raise SystemExit("no device ops parsed — rerun with --fresh")
     print(f"# leaf-op time over 3 steps: {total_ps / 1e9:.3f} ms summed")
     for name, ps in sorted(totals.items(), key=lambda kv: -kv[1])[:top]:
         print(f"{ps / 1e9:10.3f} ms  {100 * ps / total_ps:5.1f}%  "

@@ -121,3 +121,49 @@ def test_other_tasks_still_reject_pipe(tmp_path):
         tmp_path / "out"), bs=None, epoch=None, seed=0)
     with pytest.raises(ValueError, match="pipe"):
         TaskContext.from_args(args)
+
+def test_pipelined_dropout_threads_per_stage_keys(eight_devices):
+    """dropout_rng enables real dropout inside the pipeline (VERDICT r3 #10):
+    same rng reproduces, different rngs differ, and prob=0 with an rng still
+    matches the deterministic path exactly."""
+    from xfm_tpu.core.pipeline import pipelined_tower_forward
+
+    import dataclasses
+    cfg = dataclasses.replace(_tcfg(), hidden_dropout_prob=0.5)
+    model = TextClassifier(cfg, num_labels=3)
+    r = np.random.RandomState(1)
+    ids = jnp.asarray(r.randint(3, 63, (8, 10)), jnp.int32)
+    atts = jnp.ones((8, 10), jnp.int32)
+    params = model.init({"params": jax.random.PRNGKey(0)},
+                        text_ids=ids, text_atts=atts,
+                        method=TextClassifier.init_all)["params"]
+    mesh = make_mesh(eight_devices, data=4, fsdp=1, tensor=1, pipe=2)
+
+    def fwd(rng, c=cfg):
+        with mesh:
+            return np.asarray(pipelined_tower_forward(
+                params["text_encoder"], c, ids, atts, mesh,
+                num_microbatches=2, data_axes=("data",), dropout_rng=rng))
+
+    a = fwd(jax.random.PRNGKey(7))
+    b = fwd(jax.random.PRNGKey(7))
+    c = fwd(jax.random.PRNGKey(8))
+    det = fwd(None)
+    np.testing.assert_array_equal(a, b)       # reproducible per key
+    assert np.abs(a - c).max() > 1e-6         # fresh key, fresh masks
+    assert np.abs(a - det).max() > 1e-6       # dropout actually applied
+    # prob=0 + an rng is exactly the deterministic path
+    cfg0 = _tcfg()
+    np.testing.assert_array_equal(
+        fwd(jax.random.PRNGKey(9), c=cfg0), fwd(None, c=cfg0))
+    # gradient flows through the dropout path
+    def loss(p):
+        with mesh:
+            h = pipelined_tower_forward(p, cfg, ids, atts, mesh,
+                                        num_microbatches=2,
+                                        data_axes=("data",),
+                                        dropout_rng=jax.random.PRNGKey(3))
+        return jnp.mean(h ** 2)
+
+    g = jax.grad(loss)(params["text_encoder"])
+    assert all(np.isfinite(np.asarray(x)).all() for x in jax.tree.leaves(g))

@@ -180,11 +180,15 @@ def pipeline_apply(stage_params: Any, xs: jnp.ndarray, consts: Any,
 # ---------------------------------------------------------------------------
 
 
-def text_stage_fn(config, has_cross_attention: bool = False):
+def text_stage_fn(config, has_cross_attention: bool = False,
+                  axis: str = PIPE_AXIS):
     """stage_fn running a [L/S]-stacked run of TransformerLayers.
 
     consts: {'bias': [mb,1,1,T] or None, 'enc': [mb,Ne,C] or absent,
-    'ebias': ...} per-microbatch side inputs."""
+    'ebias': ...} per-microbatch side inputs. An optional 'seed' const
+    (int32 scalar per (microbatch, data-shard)) enables dropout: each
+    stage/layer folds its indices into the seed so every dropout site in
+    the pipeline draws an independent mask, fresh per train step."""
     from ..models.text_encoder import TransformerLayer
 
     layer = TransformerLayer(config, has_cross_attention=has_cross_attention)
@@ -193,12 +197,27 @@ def text_stage_fn(config, has_cross_attention: bool = False):
         bias = cm.get("bias")
         enc = cm.get("enc")
         ebias = cm.get("ebias")
+        seed = cm.get("seed")
 
-        def sublayer(h, wl):
+        if seed is None:
+            def sublayer(h, wl):
+                return layer.apply({"params": wl}, h, bias, enc, ebias,
+                                   True, False), None
+
+            x, _ = lax.scan(sublayer, x, w_stage)
+            return x
+
+        base = jax.random.fold_in(jax.random.PRNGKey(seed.reshape(())),
+                                  lax.axis_index(axis))
+        nl = jax.tree.leaves(w_stage)[0].shape[0]
+
+        def sublayer(h, wl_i):
+            wl, i = wl_i
+            rngs = {"dropout": jax.random.fold_in(base, i)}
             return layer.apply({"params": wl}, h, bias, enc, ebias,
-                               True, False), None
+                               False, False, rngs=rngs), None
 
-        x, _ = lax.scan(sublayer, x, w_stage)
+        x, _ = lax.scan(sublayer, x, (w_stage, jnp.arange(nl)))
         return x
 
     return fn
@@ -229,20 +248,31 @@ def beit_stage_fn(config):
 def pipelined_tower_forward(tower_params: Any, config, input_ids, attention_mask,
                             mesh: Mesh, num_microbatches: int,
                             axis: str = PIPE_AXIS,
-                            data_axes: Sequence[str] = ()):
+                            data_axes: Sequence[str] = (),
+                            dropout_rng=None):
     """Text-mode TextTransformer forward with the layer stack pipelined.
 
     Equivalent to `TextTransformer(config).apply(..., mode='text')` for a
     config with fusion_layer == num_hidden_layers (pure self-attention
     stack); embeddings run replicated, layers run staged.
+
+    ``dropout_rng``: optional PRNG key enabling train-mode dropout — the
+    embedding dropout runs replicated with a derived key, and each
+    (microbatch, data-shard) carries an int32 seed const from which every
+    stage/layer folds an independent per-site key (see text_stage_fn).
+    None (the default) runs fully deterministic.
     """
-    from ..models.text_encoder import (Embeddings, mask_to_bias,
-                                       roberta_position_ids)
+    from ..models.text_encoder import Embeddings, mask_to_bias
 
     c = config
     S = mesh.shape[axis]
     emb = Embeddings(c)
-    x = emb.apply({"params": tower_params["embeddings"]}, input_ids)
+    if dropout_rng is None:
+        x = emb.apply({"params": tower_params["embeddings"]}, input_ids)
+    else:
+        dropout_rng, erng = jax.random.split(dropout_rng)
+        x = emb.apply({"params": tower_params["embeddings"]}, input_ids,
+                      deterministic=False, rngs={"dropout": erng})
     bias = mask_to_bias(attention_mask) if attention_mask is not None else None
 
     stacked = stack_layer_params(tower_params, c.fusion_layer)
@@ -251,6 +281,14 @@ def pipelined_tower_forward(tower_params: Any, config, input_ids, attention_mask
     consts = {}
     if bias is not None:
         consts["bias"] = split_microbatches(bias, num_microbatches)
-    ys = pipeline_apply(stages, xs, consts, text_stage_fn(c), mesh,
-                        axis=axis, data_axes=data_axes)
+    if dropout_rng is not None:
+        M = num_microbatches
+        D = 1
+        for a in data_axes:
+            D *= mesh.shape[a]
+        info = jnp.iinfo(jnp.int32)
+        consts["seed"] = jax.random.randint(
+            dropout_rng, (M, D), info.min, info.max, jnp.int32)
+    ys = pipeline_apply(stages, xs, consts, text_stage_fn(c, axis=axis),
+                        mesh, axis=axis, data_axes=data_axes)
     return merge_microbatches(ys)

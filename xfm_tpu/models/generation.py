@@ -16,6 +16,7 @@ TPU redesign notes:
 from __future__ import annotations
 
 import dataclasses
+import os
 from typing import Optional
 
 import flax.linen as nn
@@ -88,12 +89,14 @@ class XFMForVQA(nn.Module):
         return question
 
     def decode_answers(self, answer_ids, answer_atts, question_states,
-                       question_atts, deterministic=True):
+                       question_atts, deterministic=True,
+                       question_row_idx=None):
         hidden = self.text_decoder(
             answer_ids, attention_mask=answer_atts,
             encoder_hidden_states=question_states,
             encoder_attention_mask=question_atts,
-            deterministic=deterministic)
+            deterministic=deterministic,
+            encoder_row_idx=question_row_idx)
         return self.text_decoder.mlm_logits(hidden, None)
 
     def __call__(self, images, q_ids, q_atts, answer_ids=None,
@@ -130,12 +133,24 @@ class XFMForVQA(nn.Module):
         prob_first = probs0[:, first_tok]              # [num_ques, num_ans]
         topk_probs, topk_ids = jax.lax.top_k(prob_first, k)
 
-        # gather the k candidate answers per question → [num_ques*k, L]
+        # gather the k candidate answers per question → [num_ques*k, L].
+        # question_states stays at its unique [num_ques] rows: the decoder's
+        # cross k/v are projected once per question and gathered per
+        # candidate row (encoder_row_idx) instead of re-projected k times
+        # from a repeated tensor (reference model_generation.py:174-178
+        # repeats; eval-only, so the gather backward never runs)
         cand_ids = jnp.take(answer_ids, topk_ids.reshape(-1), axis=0)
         cand_atts = jnp.take(answer_atts, topk_ids.reshape(-1), axis=0)
-        qs = jnp.repeat(question_states, k, axis=0)
-        qa = jnp.repeat(question_atts, k, axis=0)
-        logits = self.decode_answers(cand_ids, cand_atts, qs, qa)
+        if os.environ.get("XFM_EVAL_SHARED_KV", "1") == "1":
+            row_idx = jnp.repeat(jnp.arange(num_ques, dtype=jnp.int32), k)
+            qa = jnp.take(question_atts, row_idx, axis=0)
+            logits = self.decode_answers(cand_ids, cand_atts,
+                                         question_states, qa,
+                                         question_row_idx=row_idx)
+        else:  # legacy repeat formulation (A/B baseline, bench_finetune.py)
+            qs = jnp.repeat(question_states, k, axis=0)
+            qa = jnp.repeat(question_atts, k, axis=0)
+            logits = self.decode_answers(cand_ids, cand_atts, qs, qa)
         labels = jnp.where(cand_ids == self.pad_token_id, -100, cand_ids)
         loss = shift_lm_loss(logits, labels)            # [num_ques*k]
         log_probs_sum = (jnp.log(topk_probs.reshape(-1) + 1e-30)

@@ -206,15 +206,26 @@ class XFMForRetrieval(nn.Module):
         return text_embeds, bb.get_features(text_embeds=text_embeds)
 
     def itm_scores(self, image_embeds, text_embeds, text_atts,
-                   deterministic=True):
+                   deterministic=True, image_row_idx=None):
         """ITM rerank logit[:, 1] for eval stage 2
-        (reference Retrieval.py:141-152)."""
+        (reference Retrieval.py:141-152).
+
+        `image_row_idx` ([rows] int): image_embeds holds only the UNIQUE
+        images and each scored row gathers its image by index — the fusion
+        layers project cross k/v once per unique image instead of once per
+        (image × candidate) pair. In the i2t direction every image is
+        scored against k_test candidates, so this cuts the k/v projection
+        work k_test-fold (eval has no backward, so the scatter-add cost
+        that makes this a loss in training — PERF.md — does not apply)."""
         bb = self.backbone
-        image_atts = jnp.ones(image_embeds.shape[:2], jnp.int32)
+        nrows = (image_row_idx.shape[0] if image_row_idx is not None
+                 else image_embeds.shape[0])
+        image_atts = jnp.ones((nrows, image_embeds.shape[1]), jnp.int32)
         cross = bb.get_cross_embeds(image_embeds, image_atts,
                                     text_embeds=text_embeds,
                                     text_atts=text_atts, is_pretrain=False,
-                                    deterministic=deterministic)[:, 0, :]
+                                    deterministic=deterministic,
+                                    image_row_idx=image_row_idx)[:, 0, :]
         return bb.itm_head(cross)[:, 1]
 
 

@@ -150,16 +150,21 @@ def main(args, config: Optional[dict] = None):
         batch_multiple = micro * _dshards
         head = MLPHead(num_labels, dtype=tcfg.dtype)
 
-        def pipelined(params, text_ids, text_atts):
+        def pipelined(params, text_ids, text_atts, dropout_rng=None):
             with ctx.mesh:
                 hidden = pipelined_tower_forward(
                     params["text_encoder"], tcfg, text_ids, text_atts,
-                    ctx.mesh, num_microbatches=micro, data_axes=data_axes)
+                    ctx.mesh, num_microbatches=micro, data_axes=data_axes,
+                    dropout_rng=dropout_rng)
             return head.apply({"params": params["cls_head"]},
                               hidden[:, 0, :])
 
         def pipelined_loss(params, batch, rng):
-            pred = pipelined(params, batch["text_ids"], batch["text_atts"])
+            # train-mode dropout: per-(stage, layer, microbatch, data-shard)
+            # keys threaded through the pipeline consts (core/pipeline.py)
+            drng = rng if tcfg.hidden_dropout_prob > 0 else None
+            pred = pipelined(params, batch["text_ids"], batch["text_atts"],
+                             dropout_rng=drng)
             return cross_entropy(pred, batch["targets"]), {}
 
     tt_train = TrainTransform(image_res)
@@ -215,8 +220,6 @@ def main(args, config: Optional[dict] = None):
         return loss, {}
 
     if pipelined is not None:
-        # pipelined path runs deterministic (no per-stage dropout rngs —
-        # acceptable for the ablation head; documented in docs/SCALING.md)
         loss_fn = pipelined_loss
     step_fn = make_train_step(loss_fn)
     rng = task_rng(ctx)

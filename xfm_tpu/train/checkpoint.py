@@ -72,10 +72,39 @@ def choose_layers(sd: Dict[str, np.ndarray], prefix: str,
 # ---------------------------------------------------------------------------
 # interpolation utilities (reference models/beit2.py:572-849)
 
+def _bicubic_axis_weights(src_len: int, dst_len: int):
+    """Per-output-row 4-tap indices/weights of torch's bicubic resize
+    (`F.interpolate(mode='bicubic', align_corners=False)`): half-pixel
+    source coordinates, Keys cubic-convolution kernel with A = −0.75,
+    border-replicated taps."""
+    scale = src_len / dst_len
+    x = (np.arange(dst_len, dtype=np.float64) + 0.5) * scale - 0.5
+    x0 = np.floor(x).astype(np.int64)
+    A = -0.75
+
+    def k(d):
+        d = np.abs(d)
+        return np.where(
+            d <= 1.0, ((A + 2.0) * d - (A + 3.0)) * d * d + 1.0,
+            np.where(d < 2.0, (((d - 5.0) * d + 8.0) * d - 4.0) * A, 0.0))
+
+    taps = x0[:, None] + np.arange(-1, 3)[None, :]          # [dst, 4]
+    w = k(taps - x[:, None]).astype(np.float32)
+    idx = np.clip(taps, 0, src_len - 1)
+    return idx, w
+
+
 def interpolate_abs_pos_embed(pos: np.ndarray, num_patches: int,
                               num_extra_tokens: int = 1) -> np.ndarray:
     """Bicubic 2D interpolation of absolute position embeddings
-    (reference models/beit2.py:753-849, models/xfm.py:455-462)."""
+    (reference models/beit2.py:826-849, models/xfm.py:455-462).
+
+    Implements torch's `F.interpolate(mode='bicubic',
+    align_corners=False)` convolution (A = −0.75 Keys kernel, half-pixel
+    sampling, replicated borders) from scratch — `jax.image.resize`'s
+    'cubic' uses the A = −0.5 kernel and diverges from the reference by up
+    to ~0.3 on unit-variance tables (pinned by
+    tests/test_interpolation_golden.py)."""
     if pos.ndim == 2:
         pos = pos[None]
     n_old = pos.shape[1] - num_extra_tokens
@@ -84,10 +113,13 @@ def interpolate_abs_pos_embed(pos: np.ndarray, num_patches: int,
     g_old = int(round(n_old ** 0.5))
     g_new = int(round(num_patches ** 0.5))
     extra = pos[:, :num_extra_tokens]
-    grid = pos[:, num_extra_tokens:].reshape(1, g_old, g_old, -1)
-    grid = jax.image.resize(jnp.asarray(grid), (1, g_new, g_new, grid.shape[-1]),
-                            method="cubic")
-    grid = np.asarray(grid).reshape(1, g_new * g_new, -1)
+    grid = np.asarray(pos[:, num_extra_tokens:], np.float32).reshape(
+        1, g_old, g_old, -1)
+    idx, w = _bicubic_axis_weights(g_old, g_new)
+    # separable: rows then cols (same weights — square grid)
+    grid = np.einsum("ia,biawc->biwc", w, grid[:, idx])     # [1,gn,g_old,C]
+    grid = np.einsum("ja,bijac->bijc", w, grid[:, :, idx])  # [1,gn,gn,C]
+    grid = grid.reshape(1, g_new * g_new, -1)
     return np.concatenate([extra, grid], axis=1)
 
 
@@ -105,18 +137,20 @@ def interpolate_rel_pos_bias_table(table: np.ndarray,
     extra = table[-3:]
     body = table[:-3].reshape(src_size, src_size, heads)
 
-    # geometric spacing of source coordinates (reference models/beit2.py:610-650)
+    # geometric spacing of source coordinates; the q binary search mirrors
+    # the reference EXACTLY (bounds 1.01/1.5, interval tolerance 1e-6, last
+    # midpoint used) — a tighter search lands on a slightly different q and
+    # drifts the resampled table ~2e-4 (reference models/beit2.py:782-800)
     def geometric_points(n, target_half):
-        # find q with sum_{i<n/2} q^i covering target_half
-        lo, hi = 1.0001, 1.5
-        for _ in range(60):
-            q = (lo + hi) / 2
-            gp = (q ** ((n // 2)) - 1) / (q - 1)
+        left, right = 1.01, 1.5
+        q = (left + right) / 2.0
+        while right - left > 1e-6:
+            q = (left + right) / 2.0
+            gp = (1.0 - q ** (n // 2)) / (1.0 - q)
             if gp > target_half:
-                hi = q
+                right = q
             else:
-                lo = q
-        q = (lo + hi) / 2
+                left = q
         dis = []
         cur = 1.0
         for i in range(n // 2):
