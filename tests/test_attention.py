@@ -157,6 +157,7 @@ def test_packed_matches_xla_fwd_bwd():
                                atol=5e-3, rtol=1e-2)
 
 
+@pytest.mark.slow
 def test_packed_batch_blocked_matches_xla():
     """G>1 path: several batch rows per grid cell."""
     from xfm_tpu.ops.flash_attention import (_packed_fwd_impl,
@@ -191,15 +192,22 @@ def test_packed_batch_blocked_matches_xla():
                                atol=5e-3, rtol=1e-2)
 
 
+@pytest.mark.parametrize("scheme", ["loopq", "partials"])
 @pytest.mark.parametrize("bias_shape", [None, "relpos", "mask"])
-def test_blocked_q_backward_long_sequence(bias_shape):
+def test_blocked_q_backward_long_sequence(bias_shape, scheme, monkeypatch):
     """N past ~600 splits the backward's q dimension into blocks (scoped
-    VMEM; dk/dv per-block partials summed outside, db per-(h, q-block)
-    accumulation) — the 384/480px fine-tune regime. Parity vs XLA."""
+    VMEM) — the 384/480px fine-tune regime. Default scheme: loop-over-q
+    kernel (dk/dv accumulated in VMEM, written once); XFM_BWD_PARTIALS=1
+    is the legacy per-block HBM-partials scheme. Parity vs XLA for both,
+    with the loop path forced to multiple blocks (XFM_BWD_QBLK)."""
     from xfm_tpu.ops.flash_attention import _pick_bwd_blk_q
 
     B, N, H, D = 1, 600, 2, 16
     assert _pick_bwd_blk_q(N, 640, 8) < 600  # the blocked path engages
+    if scheme == "partials":
+        monkeypatch.setenv("XFM_BWD_PARTIALS", "1")
+    else:
+        monkeypatch.setenv("XFM_BWD_QBLK", "200")  # 3 in-kernel q-blocks
     q = rand((B, N, H, D), 0)
     k = rand((B, N, H, D), 1)
     v = rand((B, N, H, D), 2)
@@ -219,6 +227,31 @@ def test_blocked_q_backward_long_sequence(bias_shape):
     argnums = (0, 1, 2) + ((3,) if bias is not None else ())
     gf = jax.grad(loss_flash, argnums=argnums)(q, k, v, bias)
     gr = jax.grad(loss_ref, argnums=argnums)(q, k, v, bias)
+    for a, b in zip(gr, gf):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=5e-3,
+                                   rtol=1e-2)
+
+
+def test_loopq_backward_bh_bias(monkeypatch):
+    """Full per-(batch, head) bias with a blocked q dim — unsupported by the
+    legacy partials scheme (db would need non-contiguous accumulation), now
+    handled by the loop-over-q kernel (each cell owns its db block)."""
+    monkeypatch.setenv("XFM_BWD_QBLK", "200")
+    B, N, H, D = 2, 600, 2, 16
+    q = rand((B, N, H, D), 0)
+    k = rand((B, N, H, D), 1)
+    v = rand((B, N, H, D), 2)
+    bias = rand((B, H, 1, N), 3) * 0.1
+    scale = D ** -0.5
+
+    def loss_flash(q, k, v, bias):
+        return jnp.sum(flash_attention(q, k, v, bias, scale, True) ** 2)
+
+    def loss_ref(q, k, v, bias):
+        return jnp.sum(_xla_reference(q, k, v, bias, scale) ** 2)
+
+    gf = jax.grad(loss_flash, argnums=(0, 1, 2, 3))(q, k, v, bias)
+    gr = jax.grad(loss_ref, argnums=(0, 1, 2, 3))(q, k, v, bias)
     for a, b in zip(gr, gf):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=5e-3,
                                    rtol=1e-2)

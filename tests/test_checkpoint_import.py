@@ -126,6 +126,7 @@ def fake_head_sd(rng, text_width=24, embed_dim=12):
     return sd
 
 
+@pytest.mark.slow
 def test_full_xfm_import_covers_tree():
     cfg = tiny_cfg()
     rng = np.random.RandomState(0)
@@ -271,6 +272,7 @@ def test_clip_vit_import_covers_tree():
     assert out.shape == (2, 5, 24)
 
 
+@pytest.mark.slow
 def test_swin_import_covers_tree():
     from xfm_tpu.models.swin import SwinConfig, SwinTransformer
     from xfm_tpu.train.checkpoint import import_swin
@@ -318,6 +320,7 @@ def test_swin_import_covers_tree():
     assert out.shape == (2, 17, 32)
 
 
+@pytest.mark.slow
 def test_convert_checkpoint_cli(tmp_path, monkeypatch):
     """scripts/convert_checkpoint.py round trip: torch .th -> orbax -> .th."""
     import runpy
@@ -370,6 +373,7 @@ def test_convert_checkpoint_cli(tmp_path, monkeypatch):
                                    err_msg=k)
 
 
+@pytest.mark.slow
 def test_caption_domain_decoder_init_from_text_encoder(tmp_path):
     """Caption domain-pretrain copies TEXT-encoder weights (incl. lm_head)
     into the decoder (reference models/model_generation.py:219-235

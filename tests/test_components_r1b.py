@@ -25,6 +25,7 @@ def test_meteor_identical_is_near_one():
     assert meteor_sentence(s, [s]) > 0.99
 
 
+@pytest.mark.slow
 def test_meteor_orders_by_quality():
     refs = {"1": ["a cat sits on the mat"]}
     good = meteor({"1": "a cat sits on the mat"}, refs)
@@ -62,6 +63,7 @@ def test_meteor_synonym_stage_ranks_below_unrelated_mismatch():
 
 # ------------------------------------------------------------------ DeiT
 
+@pytest.mark.slow
 def test_deit_forward_and_gradcam_gate():
     from xfm_tpu.models.deit import DeitConfig, DeitVisionTransformer
 
@@ -89,6 +91,7 @@ def test_deit_forward_and_gradcam_gate():
 
 # ------------------------------------------- CLIP local-attention region mode
 
+@pytest.mark.slow
 def test_clip_local_attn_region_mode():
     from xfm_tpu.models.clip_vit import (ClipVisionConfig,
                                          ClipVisionTransformer)
@@ -150,6 +153,7 @@ def test_encoder_states_list_cycling():
 
 # ------------------------------------------------- attention remat equivalence
 
+@pytest.mark.slow
 def test_attn_remat_grad_equivalence(monkeypatch):
     from xfm_tpu.ops import attention as A
 
@@ -173,6 +177,7 @@ def test_attn_remat_grad_equivalence(monkeypatch):
 
 # ------------------------------------------------------- fused vision pair
 
+@pytest.mark.slow
 def test_vision_pair_matches_two_passes():
     from xfm_tpu.models.beit2 import BeitVisionTransformer, VisionConfig
 
@@ -293,6 +298,7 @@ def test_io_fetch_many_and_glob(tmp_path):
     assert [open(p).read() for p in out] == ["0", "1", "2"]
 
 
+@pytest.mark.slow
 def test_cross_kv_row_idx_matches_gathered_states():
     """Projecting cross k/v from unique rows + in-layer gather must equal
     running the fusion encoder on pre-gathered encoder states."""
@@ -336,6 +342,7 @@ def test_cross_kv_row_idx_matches_gathered_states():
     np.testing.assert_allclose(np.asarray(g2), np.asarray(g1), atol=1e-4)
 
 
+@pytest.mark.slow
 def test_fused_itm_mlm_matches_separate_passes():
     """get_matching_and_fuse_mlm_loss (one 4B-row fusion pass, default on)
     must be loss-identical to get_matching_loss + get_fuse_mlm_loss given

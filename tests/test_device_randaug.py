@@ -90,6 +90,7 @@ def test_negative_sign_flip_conjugation(img, name):
     assert np.abs(np.asarray(direct) - np.asarray(conj)).max() <= 1e-3
 
 
+@pytest.mark.slow
 def test_randaugment_batch_identity_and_determinism(img):
     batch = jnp.asarray(np.stack([img] * 3))
     ident = da.randaugment_batch(jax.random.PRNGKey(0), batch,

@@ -2,6 +2,7 @@
 import numpy as np
 import jax
 import jax.numpy as jnp
+import pytest
 
 from xfm_tpu.models import (TextConfig, VisionConfig, XFMConfig,
                             XFMForCaptioning, XFMForVQA, beam_generate,
@@ -24,6 +25,7 @@ def tiny_cfg(decoder_layers=2):
     return XFMConfig(vision=vis, text=txt, fusion=fus, embed_dim=16)
 
 
+@pytest.mark.slow
 def test_caption_train_loss_and_greedy_decode_consistency():
     cfg = tiny_cfg()
     model = XFMForCaptioning(cfg, num_dec_layers=2, pad_token_id=1)
@@ -74,6 +76,7 @@ def test_caption_sampling_logprobs():
     assert np.all(np.asarray(logps) <= 0.0)
 
 
+@pytest.mark.slow
 def test_beam_search_beats_or_matches_greedy():
     cfg = tiny_cfg()
     model = XFMForCaptioning(cfg, num_dec_layers=2, pad_token_id=1)
@@ -96,6 +99,7 @@ def test_beam_search_beats_or_matches_greedy():
     np.testing.assert_array_equal(np.asarray(beam1), np.asarray(greedy))
 
 
+@pytest.mark.slow
 def test_vqa_train_and_rank():
     cfg = tiny_cfg()
     model = XFMForVQA(cfg, num_dec_layers=2, pad_token_id=1)

@@ -110,6 +110,7 @@ def _xfm_losses_config():
                      use_bbox_loss=True)
 
 
+@pytest.mark.slow
 def test_xfm_loss_values_match_reference():
     """Loss-level golden parity: ITC (plain + idx soft labels), ITM with the
     reference's recorded hard negatives, fusion-MLM, MIM MSE, bbox L1+GIoU

@@ -7,8 +7,10 @@ import jax.numpy as jnp
 from xfm_tpu.models import XFMForRetrieval
 from xfm_tpu.models.gradcam import itm_gradcam, rank_boxes_by_cam
 from tests.test_sharding import tiny_cfg
+import pytest
 
 
+@pytest.mark.slow
 def test_itm_gradcam_shapes_and_positivity():
     cfg = tiny_cfg()
     model = XFMForRetrieval(cfg)

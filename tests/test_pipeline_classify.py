@@ -26,6 +26,7 @@ def _tcfg(layers=2):
         hidden_dropout_prob=0.0, attention_probs_dropout_prob=0.0)
 
 
+@pytest.mark.slow
 def test_pipelined_classifier_matches_plain_forward(eight_devices):
     from xfm_tpu.core.pipeline import pipelined_tower_forward
     from xfm_tpu.models.xfm import MLPHead
@@ -122,6 +123,7 @@ def test_other_tasks_still_reject_pipe(tmp_path):
     with pytest.raises(ValueError, match="pipe"):
         TaskContext.from_args(args)
 
+@pytest.mark.slow
 def test_pipelined_dropout_threads_per_stage_keys(eight_devices):
     """dropout_rng enables real dropout inside the pipeline (VERDICT r3 #10):
     same rng reproduces, different rngs differ, and prob=0 with an rng still

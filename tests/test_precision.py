@@ -72,6 +72,7 @@ def test_bf16_params_master_weights(tmp_path):
 
 
 @pytest.mark.parametrize("bf16", [False, True])
+@pytest.mark.slow
 def test_tiny_pretrain_step_under_policy(bf16):
     """A pretrain loss step runs finite in both compute dtypes through the
     YAML→config path (the round-1 gap: tasks always built fp32 models)."""

@@ -90,6 +90,7 @@ def test_param_sharding_rules(eight_devices):
 
 
 @pytest.mark.parametrize("mesh_shape", [(8, 1, 1), (2, 2, 2)])
+@pytest.mark.slow
 def test_sharded_train_step_runs(eight_devices, mesh_shape):
     data, fsdp, tensor = mesh_shape
     mesh = make_mesh(eight_devices, data=data, fsdp=fsdp, tensor=tensor)
@@ -123,6 +124,7 @@ def test_sharded_train_step_runs(eight_devices, mesh_shape):
     assert np.isfinite(gnorm) and gnorm > 0
 
 
+@pytest.mark.slow
 def test_sharded_loss_matches_replicated(eight_devices):
     """DP-sharded loss == single-device loss (deterministic parts)."""
     mesh = make_mesh(eight_devices, data=8)
@@ -234,7 +236,11 @@ def test_seq_shard_loss_matches_replicated(eight_devices):
     # only bit past certain sizes) — also compile a mid-size tower: 512-wide,
     # 4 layers, 128px (N=65), B=16.
     dict(hidden=512, layers=4, heads=8, inter=2048, image_res=128, B=16),
-], ids=["tiny", "mid"])
+    # beit2-large width (1024/16-head, 4096-inter; reference
+    # models/beit2.py:548, configs/model/config_beit2_large.json) with
+    # fsdp=2 — the fsdp gather/scatter pattern at the larger param shapes
+    dict(hidden=1024, layers=4, heads=16, inter=4096, image_res=128, B=8),
+], ids=["tiny", "mid", "large_width"])
 def test_no_involuntary_remat_on_3d_mesh(tmp_path, shape):
     """Compiling the full pretrain train step on a dp2 x fsdp2 x tp2 mesh
     must emit NO '[SPMD] Involuntary full rematerialization' warnings

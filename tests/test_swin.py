@@ -3,6 +3,7 @@ gradient flow."""
 import numpy as np
 import jax
 import jax.numpy as jnp
+import pytest
 
 from xfm_tpu.models.swin import (SwinConfig, SwinTransformer,
                                  window_partition, window_reverse,
@@ -35,6 +36,7 @@ def test_rel_pos_index_symmetry():
     assert idx[0, 5] != idx[5, 0] or idx[0, 5] == 24  # center only when equal
 
 
+@pytest.mark.slow
 def test_swin_shifted_blocks_forward_and_grad():
     cfg = SwinConfig(image_res=32, patch_size=4, embed_dim=16,
                      depths=(2, 2), num_heads=(2, 4), window_size=4,

@@ -678,6 +678,7 @@ def test_caption_prompt_forced_decode(tmp_path):
                                   np.tile(np.asarray(pids), (2, 1)))
 
 
+@pytest.mark.slow
 def test_caption_decode_with_gradient_checkpointing(tmp_path):
     """KV-cached decode under remat-wrapped layers: cross_from_cache is a
     python bool branched on inside SelfAttention and must stay static

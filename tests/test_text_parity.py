@@ -36,6 +36,7 @@ def make_inputs(pad=1):
     return ids, atts
 
 
+@pytest.mark.slow
 def test_roberta_parity():
     model, hf_cfg = tiny_hf_roberta()
     model.eval()
@@ -65,6 +66,7 @@ def test_roberta_parity():
     np.testing.assert_allclose(np.asarray(out), ref, atol=2e-5, rtol=1e-4)
 
 
+@pytest.mark.slow
 def test_cross_attention_modes():
     """fusion_layer mechanics: mode='text' must equal running only the first
     fusion_layer layers; cross-attn layers consume encoder states."""

@@ -235,10 +235,9 @@ class BeitBlock(nn.Module):
                               dtype=c.dtype)(dp(h, deterministic),
                                              residual=x, return_sum=True)
         h = nn.Dense(int(C * c.mlp_ratio), name="fc1", dtype=c.dtype)(h)
-        from .text_encoder import ACT
+        from .text_encoder import ActDense
 
-        h = ACT[c.hidden_act](h)
-        h = nn.Dense(C, name="fc2", dtype=c.dtype,
+        h = ActDense(C, act=c.hidden_act, name="fc2", dtype=c.dtype,
                      kernel_init=_rescaled_init(self.layer_id))(h)
         h = nn.Dropout(c.drop_rate)(h, deterministic=deterministic)
         if use_ls:

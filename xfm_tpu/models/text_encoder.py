@@ -59,6 +59,35 @@ ACT = {
 }
 
 
+class ActDense(nn.Module):
+    """`y = Dense(act(x))` — the MLP tail. Param tree identical to
+    nn.Dense (kernel/bias), so checkpoints interchange. Under
+    XFM_MLP_FUSED=1 on TPU the activation runs as a VMEM prologue inside
+    Pallas matmuls (ops/fused_mlp.py) so the [*, intermediate] activated
+    tensor never round-trips HBM; default is the identical-math XLA
+    composition."""
+    features: int
+    act: str
+    dtype: Any = jnp.float32
+    kernel_init: Any = nn.initializers.lecun_normal()
+
+    @nn.compact
+    def __call__(self, x):
+        from ..ops.fused_mlp import act_dense, fused_mlp_ok
+
+        kernel = self.param("kernel", self.kernel_init,
+                            (x.shape[-1], self.features))
+        bias = self.param("bias", nn.initializers.zeros, (self.features,))
+        if fused_mlp_ok() and self.act in ("gelu", "gelu_tanh", "gelu_new",
+                                           "relu"):
+            act = "gelu_tanh" if self.act == "gelu_new" else self.act
+            return act_dense(x.astype(self.dtype), kernel.astype(self.dtype),
+                             bias.astype(self.dtype), act)
+        h = ACT[self.act](x)
+        return (h.astype(self.dtype) @ kernel.astype(self.dtype)
+                + bias.astype(self.dtype))
+
+
 @dataclasses.dataclass(frozen=True)
 class TextConfig:
     vocab_size: int = 50265
@@ -290,8 +319,8 @@ class TransformerLayer(nn.Module):
                 kv_row_idx=encoder_row_idx)
         h = nn.Dense(c.intermediate_size, name="intermediate_dense",
                      dtype=c.dtype)(x)
-        h = ACT[c.hidden_act](h)
-        h = nn.Dense(c.hidden_size, name="output_dense", dtype=c.dtype)(h)
+        h = ActDense(c.hidden_size, act=c.hidden_act, name="output_dense",
+                     dtype=c.dtype)(h)
         h = nn.Dropout(c.hidden_dropout_prob)(h, deterministic=deterministic)
         x = FusedLayerNorm(epsilon=c.layer_norm_eps, name="ffn_LayerNorm",
                            dtype=c.dtype)(h, residual=x)

@@ -28,6 +28,7 @@ Design notes (TPU-first; v4 after profiling the v1-v3 kernels):
 from __future__ import annotations
 
 import functools
+import os
 
 import jax
 import jax.numpy as jnp
@@ -150,7 +151,8 @@ def _fused_attention_fwd_impl(q, k, v, bias, scale, interpret=False):
     B, Nq, H, D = q.shape
     Nk = k.shape[1]
     sub = 16 if q.dtype == jnp.bfloat16 else 8
-    blk_q = _pick_blk_q(Nq, sub)
+    blk_q = _pick_blk_q(Nq, sub,
+                        cap=int(os.environ.get("XFM_FWD_QBLK_CAP", "512")))
     Nqp = _round_up(Nq, blk_q)
     Nkp = _round_up(Nk, 128)
 
@@ -289,6 +291,190 @@ def _pick_bwd_blk_q(Nq: int, Nkp: int, sub: int) -> int:
     return _pick_blk_q(Nq, sub, cap=cap)
 
 
+def _pick_loopq_blk(Nq: int, Nqp_est: int, Nkp: int, D: int, sub: int,
+                    has_bias: bool, bias_q_rows: bool) -> int:
+    """q-block size for the loop-over-q backward: the whole-cell statics
+    (q/do/dq [Nqp, D], k/v/dk/dv [Nkp, D], f32 bias + db blocks when the
+    bias carries q rows) plus ~4.5 live f32 score-shaped mats per loop
+    iteration must sit under ~14 MB of VMEM."""
+    env = os.environ.get("XFM_BWD_QBLK")
+    if env:  # explicit block size (tests / on-chip block-size A/B)
+        return max(sub, int(env) // sub * sub)
+    # Measured on v5e (N=901, blk 240): Mosaic's real stack was 18.94 MB vs
+    # a 4.5-mats model's 13.4 — about TEN score-shaped f32 mats stay live
+    # per iteration (s/p/dp/ds + casts + softmax temps). Budget 13.5 MB
+    # against the 16 MB scoped limit.
+    static = 3 * Nqp_est * D * 2 + 4 * Nkp * D * 4
+    if has_bias:
+        static += (2 if bias_q_rows else 0) * Nqp_est * Nkp * 4 + 2 * Nkp * 4
+    budget = int(13.5 * 1024 * 1024) - static
+    cap = max(sub, budget // (10 * Nkp * 4) // sub * sub)
+    return _pick_blk_q(Nq, sub, cap=cap)
+
+
+def _attn_bwd_loopq_kernel(q_ref, k_ref, v_ref, do_ref, dq_ref, dk_ref,
+                           dv_ref, *, scale, nk_valid, blk_q, n_blocks,
+                           has_bias=False, bias_ref=None, db_ref=None,
+                           db_accumulate=False, db_init_axis0=False,
+                           db_bq_full=True):
+    """Backward for one (b, h) with the q dimension looped IN-kernel:
+    dk/dv accumulate in VMEM across the q-blocks and are written exactly
+    once — no per-block HBM partials (the previous long-seq scheme wrote +
+    re-read 2 f32 [nq_blocks, B, H, Nkp, D] tensors ≈ 1.2 GB/layer at the
+    480px VQA shape). Same math as `_attn_bwd_kernel` per block."""
+    k = _sq(k_ref)
+    v = _sq(v_ref)
+    track_db = has_bias and db_ref is not None
+
+    if track_db:
+        if db_accumulate:
+            init = pl.program_id(2) == 0
+            if db_init_axis0:
+                init = jnp.logical_and(init, pl.program_id(0) == 0)
+        else:
+            init = True  # this cell owns its db block exclusively
+
+        @pl.when(init)
+        def _():
+            db_ref[0, 0] = jnp.zeros_like(db_ref[0, 0])
+
+    # fori_loop, NOT an unrolled Python loop: Mosaic allocates scoped-VMEM
+    # stack slots per *instruction*, so an unrolled loop keeps every
+    # iteration's score-shaped temporaries live at once (measured 19-20 MB
+    # at N=901 — over the 16 MB limit at any block size). The rolled loop
+    # pays one iteration's buffers; dk/dv (and the bq==1 db row) ride the
+    # carry.
+    def body(i, carry):
+        dk_acc, dv_acc, db_row = carry
+        rows = (0, 0, pl.ds(i * blk_q, blk_q), slice(None))
+        q = q_ref[rows]
+        do = do_ref[rows].astype(jnp.float32)
+        qs = (q.astype(jnp.float32) * scale).astype(q.dtype)
+        s = jax.lax.dot_general(qs, k, (((1,), (1,)), ((), ())),
+                                preferred_element_type=jnp.float32)
+        if has_bias:
+            brows = (bias_ref[rows] if bias_ref.shape[2] > 1
+                     else bias_ref[0, 0])
+            s = s + brows.astype(jnp.float32)
+        s = _mask_pad(s, nk_valid)
+        p = _softmax(s)
+
+        pb = p.astype(do_ref.dtype)
+        dv_acc += jax.lax.dot_general(pb, do.astype(pb.dtype),
+                                      (((0,), (0,)), ((), ())),
+                                      preferred_element_type=jnp.float32)
+        dp = jax.lax.dot_general(do.astype(v.dtype), v,
+                                 (((1,), (1,)), ((), ())),
+                                 preferred_element_type=jnp.float32)
+        ds = p * (dp - jnp.sum(p * dp, axis=-1, keepdims=True))
+        dsb = ds.astype(k.dtype)
+        dq = jax.lax.dot_general(dsb, k, (((1,), (0,)), ((), ())),
+                                 preferred_element_type=jnp.float32) * scale
+        dk_acc += jax.lax.dot_general(dsb, qs, (((0,), (0,)), ((), ())),
+                                      preferred_element_type=jnp.float32)
+        dq_ref[rows] = dq.astype(dq_ref.dtype)
+
+        if track_db:
+            if db_bq_full:
+                db_ref[rows] = db_ref[rows] + ds.astype(db_ref.dtype)
+            else:
+                db_row += jnp.sum(ds, axis=0, keepdims=True)
+        return dk_acc, dv_acc, db_row
+
+    carry0 = (jnp.zeros((k.shape[0], k.shape[1]), jnp.float32),
+              jnp.zeros((v.shape[0], v.shape[1]), jnp.float32),
+              jnp.zeros((1, k.shape[0]), jnp.float32))
+    dk_acc, dv_acc, db_row = jax.lax.fori_loop(0, n_blocks, body, carry0)
+
+    if track_db and not db_bq_full:
+        db_ref[0, 0] += db_row.astype(db_ref.dtype)
+    dk_ref[0, 0] = dk_acc.astype(dk_ref.dtype)
+    dv_ref[0, 0] = dv_acc.astype(dv_ref.dtype)
+
+
+def _bwd_loopq(q, k, v, bias, scale, g, B, Nq, Nk, H, D, Nqp, Nkp, blk_q,
+               nq_blocks, interpret):
+    """Long-sequence backward dispatch: one grid cell per (b, h), q-blocks
+    looped inside `_attn_bwd_loopq_kernel`. dk/dv come back f32 (single
+    store per cell) and are cast outside; db handling mirrors the
+    single-block path (accumulate along the innermost axis over whichever
+    batch/head dims the bias broadcasts, write-once otherwise)."""
+    qp = _prep(q, Nq, Nqp)
+    kp = _prep(k, Nk, Nkp)
+    vp = _prep(v, Nk, Nkp)
+    gp = _prep(g, Nq, Nqp)
+
+    order = _grid_order(bias)
+    grid_of, to_bhi = _axes(order)
+    grid = grid_of(H, 1, B)
+
+    def qmap(a0, i, a2):
+        b, h, _ = to_bhi(a0, i, a2)
+        return (b, h, 0, 0)
+
+    qspec = pl.BlockSpec((1, 1, Nqp, D), qmap)
+    kvspec = pl.BlockSpec((1, 1, Nkp, D), qmap)
+
+    out_shapes = [
+        jax.ShapeDtypeStruct((B, H, Nqp, D), q.dtype),     # dq
+        jax.ShapeDtypeStruct((B, H, Nkp, D), jnp.float32),  # dk (f32 acc)
+        jax.ShapeDtypeStruct((B, H, Nkp, D), jnp.float32),  # dv
+    ]
+    out_specs = [qspec, kvspec, kvspec]
+
+    has_bias = bias is not None
+    kern = functools.partial(_attn_bwd_loopq_kernel, scale=scale,
+                             nk_valid=Nk, blk_q=blk_q, n_blocks=nq_blocks,
+                             has_bias=has_bias)
+    if has_bias:
+        bb, bh, bq, _ = bias.shape
+        bias_p = _bias_prep(bias, Nqp, Nkp, Nk)
+        bspec = _bias_spec(bias, Nqp, Nkp, order)
+        in_specs = [qspec, kvspec, kvspec, qspec, bspec]
+        args = (qp, kp, vp, gp, bias_p)
+        db_B = bb if bb > 1 else 1
+        db_H = bh if bh > 1 else 1
+        db_Q = Nqp if bq > 1 else 1
+        out_shapes.append(
+            jax.ShapeDtypeStruct((db_B, db_H, db_Q, Nkp), jnp.float32))
+        out_specs.append(bspec)
+
+        def kernel(q_ref, k_ref, v_ref, do_ref, bias_ref, dq_ref, dk_ref,
+                   dv_ref, db_ref):
+            kern(q_ref, k_ref, v_ref, do_ref, dq_ref, dk_ref, dv_ref,
+                 bias_ref=bias_ref, db_ref=db_ref,
+                 db_accumulate=(bb == 1 or bh == 1),
+                 db_init_axis0=(bb == 1 and bh == 1),
+                 db_bq_full=(bq > 1))
+    else:
+        in_specs = [qspec, kvspec, kvspec, qspec]
+        args = (qp, kp, vp, gp)
+
+        def kernel(q_ref, k_ref, v_ref, do_ref, dq_ref, dk_ref, dv_ref):
+            kern(q_ref, k_ref, v_ref, do_ref, dq_ref, dk_ref, dv_ref)
+
+    outs = pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=in_specs,
+        out_specs=out_specs,
+        out_shape=out_shapes,
+        interpret=interpret,
+    )(*args)
+
+    def unprep(x, n):
+        return jnp.swapaxes(x[:, :, :n], 1, 2)
+
+    dq = unprep(outs[0], Nq)
+    dk = unprep(outs[1].astype(k.dtype), Nk)
+    dv = unprep(outs[2].astype(v.dtype), Nk)
+    db = None
+    if has_bias:
+        bq = bias.shape[2]
+        db = outs[3][:, :, : (Nq if bq > 1 else 1), :Nk]
+    return dq, dk, dv, db
+
+
 def _fused_attention_bwd_impl(q, k, v, bias, scale, g, interpret=False):
     """→ (dq, dk, dv, db) with db already reduced to the bias' broadcast
     shape (padded cols trimmed). Layout mirrors the forward. Long
@@ -303,6 +489,18 @@ def _fused_attention_bwd_impl(q, k, v, bias, scale, g, interpret=False):
     Nqp = _round_up(Nq, blk_q)
     nq_blocks = Nqp // blk_q
     multi_q = nq_blocks > 1
+    # long sequences default to the loop-over-q kernel (dk/dv accumulated
+    # in VMEM, written once); XFM_BWD_PARTIALS=1 restores the HBM-partials
+    # scheme for A/B
+    loopq = multi_q and os.environ.get("XFM_BWD_PARTIALS", "0") != "1"
+    if loopq:
+        bias_q_rows = bias is not None and bias.shape[2] > 1
+        blk_q = _pick_loopq_blk(Nq, Nqp, Nkp, D, sub,
+                                bias is not None, bias_q_rows)
+        Nqp = _round_up(Nq, blk_q)
+        nq_blocks = Nqp // blk_q
+        return _bwd_loopq(q, k, v, bias, scale, g, B, Nq, Nk, H, D,
+                          Nqp, Nkp, blk_q, nq_blocks, interpret)
 
     qp = _prep(q, Nq, Nqp)
     kp = _prep(k, Nk, Nkp)
