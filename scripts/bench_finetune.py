@@ -64,6 +64,20 @@ def _time(fn, iters):
     return max(time.perf_counter() - t0 - rtt, 1e-9) / iters
 
 
+def _time_salted(fn, iters):
+    """fn(salt) -> scalar array. Like _time but every call carries a fresh
+    scalar input: re-dispatching an executable with IDENTICAL argument
+    buffers can be deduped by the axon tunnel (measured ~0 s for the
+    second call of heavy eval jits), so each timed call must differ."""
+    out = fn(jnp.float32(0.0))
+    _ = float(out)
+    rtt = _rtt(out)
+    t0 = time.perf_counter()
+    out = fn(jnp.float32(1.0))
+    _ = float(out)
+    return max(time.perf_counter() - t0 - rtt, 1e-9) / iters
+
+
 def _emit(mode, value, unit, mfu=None, extra=None):
     rec = {"mode": mode, "value": round(value, 2), "unit": unit}
     if mfu is not None:
@@ -329,25 +343,26 @@ def retrieval_rerank():
 
     iters = int(os.environ.get("XFM_FT_ITERS", "4"))
 
+    # ONE salted chunk call per measurement — exactly the task's dispatch
+    # shape (tasks/retrieval.py rerank_scores). A lax.scan wrapper measured
+    # a ~2.3x-inflated HBM liveness (multiple iterations' per-layer k/v
+    # buffers held live) and OOM'd the row-gather path; single calls match
+    # the production peak.
     @jax.jit
-    def run(params, ie, te, ta, ri):
-        def body(carry, _):
-            if shared:
-                s = model.apply({"params": params}, ie, te, ta,
-                                image_row_idx=ri,
-                                method=XFMForRetrieval.itm_scores)
-            else:
-                s = model.apply({"params": params},
-                                jnp.repeat(ie, k_test, axis=0), te, ta,
-                                method=XFMForRetrieval.itm_scores)
-            return carry + jnp.sum(s), ()
+    def run(params, ie, te, ta, ri, salt):
+        f = (1.0 + 1e-6 * salt).astype(ie.dtype)
+        if shared:
+            s = model.apply({"params": params}, ie * f, te, ta,
+                            image_row_idx=ri,
+                            method=XFMForRetrieval.itm_scores)
+        else:
+            s = model.apply({"params": params},
+                            jnp.repeat(ie * f, k_test, axis=0), te, ta,
+                            method=XFMForRetrieval.itm_scores)
+        return jnp.sum(s)
 
-        total, _ = jax.lax.scan(body, jnp.zeros((), jnp.float32),
-                                jnp.arange(iters))
-        return total
-
-    dt = _time(lambda: run(params, img_embeds, txt_embeds, txt_atts,
-                           row_idx), iters)
+    dt = _time_salted(lambda salt: run(params, img_embeds, txt_embeds,
+                                       txt_atts, row_idx, salt), 1)
     rows = chunk  # one "row" = k_test candidate scores
     fwd = transformer_flops(12, 768, 3072, T, chunk * k_test, cross_kv=Nv)
     _emit("retrieval_rerank_384px", rows / dt, "rows/s/chip",
@@ -379,16 +394,21 @@ def vqa_rank():
     params = model.init({"params": jax.random.PRNGKey(0)}, images, q_ids,
                         q_atts, method=XFMForVQA.init_all)["params"]
 
+    # single salted call per measurement (see retrieval_rerank: scan
+    # wrappers inflate liveness; identical re-dispatches get deduped)
     @jax.jit
-    def rank(params, images, q_ids, q_atts):
-        ids, probs = model.apply({"params": params}, images, q_ids, q_atts,
+    def rank(params, images, q_ids, q_atts, salt):
+        im = images * (1.0 + 1e-6 * salt)
+        ids, probs = model.apply({"params": params}, im, q_ids, q_atts,
                                  train=False, answer_list_ids=ans_ids,
                                  answer_list_atts=ans_atts, k=k)
         return jnp.sum(probs)
 
-    dt = _time(lambda: rank(params, images, q_ids, q_atts), 1)
+    dt = _time_salted(
+        lambda salt: rank(params, images, q_ids, q_atts, salt), 1)
     _emit("vqa_rank_480px", B / dt, "questions/s/chip", None,
-          {"k": k, "answers": n_ans, "ms_per_batch": round(dt * 1e3, 1)})
+          {"k": k, "answers": n_ans, "ms_per_batch": round(dt * 1e3, 1),
+           "shared_kv": os.environ.get("XFM_EVAL_SHARED_KV", "1")})
 
 
 def caption_decode():

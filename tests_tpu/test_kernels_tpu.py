@@ -99,3 +99,67 @@ def test_fast_erf_gelu_on_chip(tpu):
     diff = jnp.abs(exact.astype(jnp.float32) - fast.astype(jnp.float32))
     ulp = jnp.maximum(jnp.abs(exact.astype(jnp.float32)) * 2 ** -8, 2 ** -14)
     assert float(jnp.max(diff / ulp)) <= 1.0 + 1e-6
+
+
+@pytest.mark.parametrize("bias_kind", [None, "relpos"])
+def test_loopq_backward_parity_long_seq(tpu, bias_kind):
+    """Loop-over-q backward (the N>~500 fine-tune path: in-kernel q-block
+    fori_loop, VMEM dk/dv accumulation) vs the XLA path on the compiled
+    Mosaic lowering, at a 577-token 384px-like shape."""
+    from xfm_tpu.ops.attention import dot_product_attention
+    from xfm_tpu.ops.flash_attention import flash_attention
+
+    B, N, H, D = 2, 577, 12, 64
+    ks = jax.random.split(jax.random.PRNGKey(1), 4)
+    q = jax.random.normal(ks[0], (B, N, H, D), jnp.bfloat16) * 0.5
+    k = jax.random.normal(ks[1], (B, N, H, D), jnp.bfloat16) * 0.5
+    v = jax.random.normal(ks[2], (B, N, H, D), jnp.bfloat16) * 0.5
+    bias = None
+    if bias_kind == "relpos":
+        bias = jax.random.normal(ks[3], (1, H, N, N), jnp.float32) * 0.1
+    scale = D ** -0.5
+
+    def loss_kernel(q, k, v, bias):
+        return jnp.sum(flash_attention(q, k, v, bias, scale) ** 2)
+
+    def loss_xla(q, k, v, bias):
+        return jnp.sum(dot_product_attention(q, k, v, bias=bias,
+                                             use_flash=False) ** 2)
+
+    argnums = (0, 1, 2) + ((3,) if bias is not None else ())
+    gk = jax.jit(jax.grad(loss_kernel, argnums=argnums))(q, k, v, bias)
+    gx = jax.jit(jax.grad(loss_xla, argnums=argnums))(q, k, v, bias)
+    for a, b in zip(gk, gx):
+        rel = (jnp.abs(a.astype(jnp.float32) - b.astype(jnp.float32)).mean()
+               / (jnp.abs(b.astype(jnp.float32)).mean() + 1e-8))
+        assert float(rel) < 5e-2, bias_kind
+
+
+def test_fused_mlp_parity_on_chip(tpu):
+    """act-prologue matmul trio (ops/fused_mlp.py) vs the XLA composition
+    on the chip, MLP-tail shape."""
+    from xfm_tpu.models.text_encoder import ACT
+    from xfm_tpu.ops.fused_mlp import act_matmul
+
+    M, K, N = 1576, 3072, 768
+    ks = jax.random.split(jax.random.PRNGKey(2), 4)
+    h = jax.random.normal(ks[0], (M, K), jnp.bfloat16)
+    w = jax.random.normal(ks[1], (K, N), jnp.bfloat16) * 0.05
+    b = jax.random.normal(ks[2], (N,), jnp.bfloat16) * 0.1
+    g = jax.random.normal(ks[3], (M, N), jnp.bfloat16)
+
+    def ref(h, w, b):
+        return jnp.sum(g * (ACT["gelu_tanh"](h) @ w + b))
+
+    def fused(h, w, b):
+        return jnp.sum(g * act_matmul(h, w, b, "gelu_tanh"))
+
+    yk = jax.jit(lambda h, w, b: act_matmul(h, w, b, "gelu_tanh"))(h, w, b)
+    yx = jax.jit(lambda h, w, b: ACT["gelu_tanh"](h) @ w + b)(h, w, b)
+    assert _mae(yk, yx) < 5e-2
+    gk = jax.jit(jax.grad(fused, argnums=(0, 1, 2)))(h, w, b)
+    gx = jax.jit(jax.grad(ref, argnums=(0, 1, 2)))(h, w, b)
+    for a, x in zip(gk, gx):
+        rel = (jnp.abs(a.astype(jnp.float32) - x.astype(jnp.float32)).mean()
+               / (jnp.abs(x.astype(jnp.float32)).mean() + 1e-8))
+        assert float(rel) < 5e-2

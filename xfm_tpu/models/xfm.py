@@ -415,12 +415,18 @@ class XFMBase(nn.Module):
                            if text_embeds is not None else None)
         # Optionally reference images by INDEX into the unique B images for
         # the neg pass ([text_pos x image_neg ‖ text_neg x image_pos]) so
-        # cross k/v are projected once per unique image. Measured SLOWER
-        # end-to-end at B=48 on v5e (208.9 vs 215.7 samples/s: the per-layer
+        # cross k/v are projected once per unique image. Measured on v5e:
+        # SLOWER at 224px/N=197 (208.9 vs 215.7 samples/s — the per-layer
         # gathered-k/v materialization + scatter-add backward outweigh the
-        # saved projection matmuls) — off by default, kept for larger
-        # image-token counts where projections dominate.
-        shared_kv = os.environ.get("XFM_SHARED_CROSS_KV", "0") == "1"
+        # saved projections) but FASTER at 384px/N=577 (retrieval train
+        # 169.6 vs 159.2, 49.8% vs 46.7% MFU) where the projection term has
+        # grown 3x. Auto-enabled from 577 image tokens;
+        # XFM_SHARED_CROSS_KV=0/1 forces either way.
+        env = os.environ.get("XFM_SHARED_CROSS_KV")
+        if env is not None:
+            shared_kv = env == "1"
+        else:
+            shared_kv = image_embeds.shape[1] >= 577
         if shared_kv:
             row_idx = jnp.concatenate(
                 [image_neg, jnp.arange(B, dtype=image_neg.dtype)], 0)

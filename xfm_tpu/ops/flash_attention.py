@@ -300,16 +300,21 @@ def _pick_loopq_blk(Nq: int, Nqp_est: int, Nkp: int, D: int, sub: int,
     env = os.environ.get("XFM_BWD_QBLK")
     if env:  # explicit block size (tests / on-chip block-size A/B)
         return max(sub, int(env) // sub * sub)
-    # Measured on v5e (N=901, blk 240): Mosaic's real stack was 18.94 MB vs
-    # a 4.5-mats model's 13.4 — about TEN score-shaped f32 mats stay live
-    # per iteration (s/p/dp/ds + casts + softmax temps). Budget 13.5 MB
-    # against the 16 MB scoped limit.
+    # The loopq pallas_call raises its own VMEM carve-out to
+    # _LOOPQ_VMEM_LIMIT (v5e has 128 MiB physical VMEM; the 16 MB default
+    # is just the compiler's conservative scoped budget). Statics: q/do/dq
+    # + k/v/dk/dv blocks + (for a q-row bias) the full-q f32 bias input and
+    # db output; per-iteration: ~8 score-shaped f32 mats live at once
+    # (measured via Mosaic stack-size errors on v5e).
     static = 3 * Nqp_est * D * 2 + 4 * Nkp * D * 4
     if has_bias:
         static += (2 if bias_q_rows else 0) * Nqp_est * Nkp * 4 + 2 * Nkp * 4
-    budget = int(13.5 * 1024 * 1024) - static
-    cap = max(sub, budget // (10 * Nkp * 4) // sub * sub)
+    budget = _LOOPQ_VMEM_LIMIT - 4 * 1024 * 1024 - static
+    cap = max(sub, budget // (8 * Nkp * 4) // sub * sub)
     return _pick_blk_q(Nq, sub, cap=cap)
+
+
+_LOOPQ_VMEM_LIMIT = 32 * 1024 * 1024
 
 
 def _attn_bwd_loopq_kernel(q_ref, k_ref, v_ref, do_ref, dq_ref, dk_ref,
@@ -453,6 +458,10 @@ def _bwd_loopq(q, k, v, bias, scale, g, B, Nq, Nk, H, D, Nqp, Nkp, blk_q,
         def kernel(q_ref, k_ref, v_ref, do_ref, dq_ref, dk_ref, dv_ref):
             kern(q_ref, k_ref, v_ref, do_ref, dq_ref, dk_ref, dv_ref)
 
+    kwargs = {}
+    if _HAS_PLTPU and not interpret:
+        kwargs["compiler_params"] = pltpu.CompilerParams(
+            vmem_limit_bytes=_LOOPQ_VMEM_LIMIT)
     outs = pl.pallas_call(
         kernel,
         grid=grid,
@@ -460,6 +469,7 @@ def _bwd_loopq(q, k, v, bias, scale, g, B, Nq, Nk, H, D, Nqp, Nkp, blk_q,
         out_specs=out_specs,
         out_shape=out_shapes,
         interpret=interpret,
+        **kwargs,
     )(*args)
 
     def unprep(x, n):

@@ -50,15 +50,20 @@ def _act_fns(act: str):
 
         return f, df
     if act == "gelu":
-        inv_sqrt2 = 0.7071067811865476
-        inv_sqrt2pi = 0.3989422804014327
+        # Mosaic has no `erf` primitive — use the repo's own bf16-exact
+        # tanh-form Phi (ops/activations.py, fit by fit_gelu_poly.py),
+        # which is also what ACT['gelu'] computes on the XLA path.
+        from .activations import _INV_SQRT_2PI, _phi_hat
 
         def f(x):
-            return 0.5 * x * (1.0 + jax.lax.erf(x * inv_sqrt2))
+            return x * _phi_hat(jnp.clip(x, -6.0, 6.0))
 
         def df(x):
-            return (0.5 * (1.0 + jax.lax.erf(x * inv_sqrt2))
-                    + x * inv_sqrt2pi * jnp.exp(-0.5 * x * x))
+            xc = jnp.clip(x, -6.0, 6.0)
+            phi = _phi_hat(xc)
+            pdf = jnp.exp(-0.5 * xc * xc) * jnp.float32(_INV_SQRT_2PI)
+            d = phi + x * pdf
+            return jnp.where(x >= 6.0, 1.0, jnp.where(x <= -6.0, 0.0, d))
 
         return f, df
     if act == "relu":
