@@ -233,6 +233,12 @@ class SelfAttention(nn.Module):
             k = k.reshape(U, kv_source.shape[1], H, D)
             v = v.reshape(U, kv_source.shape[1], H, D)
             if kv_row_idx is not None:
+                # tie this layer's k/v gather to its own query activations:
+                # XLA's scheduler otherwise hoists ALL layers' (cheap)
+                # gathers to the program start, keeping every layer's
+                # gathered k/v live at once (measured 36 GB — 10 layers'
+                # worth — on the k_test=256 rerank at 384px)
+                k, v, _ = jax.lax.optimization_barrier((k, v, hidden))
                 k = jnp.take(k, kv_row_idx, axis=0)
                 v = jnp.take(v, kv_row_idx, axis=0)
             if decode and self.is_cross:
