@@ -78,27 +78,25 @@ def rerank_scores(model, params, img_embeds, txt_embeds, txt_atts, sims,
         return model.apply({"params": params}, image_embeds, text_embeds,
                            text_atts, method=XFMForRetrieval.itm_scores)
 
-    @jax.jit
-    def itm_chunk_i2t(params, image_embeds, text_embeds, text_atts, row_idx):
-        # unique images + per-row gather: cross k/v projected once per
-        # image, not once per (image, candidate) — k_test-fold less
-        # projection work and an image tensor k_test× smaller on the wire
-        return model.apply({"params": params}, image_embeds, text_embeds,
-                           text_atts, image_row_idx=row_idx,
-                           method=XFMForRetrieval.itm_scores)
-
     n_img, n_txt = sims.shape
     score_i2t = np.full((n_img, n_txt), -100.0, np.float32)
     topk_t = np.argsort(-sims, axis=1)[:, :k_test]
     my_img_rows = np.arange(pid, n_img, pcount)
     for s in range(0, len(my_img_rows), chunk):
         rows = my_img_rows[s:s + chunk]
+        # reference formulation: repeat each image k_test times. The
+        # unique-image + in-layer k/v gather variant (itm_scores'
+        # image_row_idx) saves the per-candidate projections but measured
+        # 2x SLOWER here (4.8 vs 8.5 rows/s on v5e) — at 577 image tokens
+        # the [chunk*k_test, 577] gathered-k/v materialization costs more
+        # than the projections it saves. It stays the win where the
+        # re-used states are short (rank_answer's 40-token questions,
+        # +12%); see PERF.md round-4.
+        im = np.repeat(img_embeds[rows], k_test, axis=0)
         cand = topk_t[rows].reshape(-1)
-        row_idx = np.repeat(np.arange(len(rows), dtype=np.int32), k_test)
-        scores = itm_chunk_i2t(params, jnp.asarray(img_embeds[rows]),
-                               jnp.asarray(txt_embeds[cand]),
-                               jnp.asarray(txt_atts[cand]),
-                               jnp.asarray(row_idx))
+        scores = itm_chunk(params, jnp.asarray(im),
+                           jnp.asarray(txt_embeds[cand]),
+                           jnp.asarray(txt_atts[cand]))
         scores = np.asarray(scores).reshape(len(rows), k_test)
         for j, r in enumerate(rows):
             score_i2t[r, topk_t[r]] = scores[j]
