@@ -92,7 +92,13 @@ def _train_harness(model, params, loss_fn, batch, iters):
     from xfm_tpu.train.schedules import linear_warmup_decay
     from xfm_tpu.train.train_state import TrainState
 
-    tx = create_optimizer(params, linear_warmup_decay(1e-4, 1000, 100))
+    # no grad clip: the reference fine-tune loops use bare AdamW (clipping
+    # is an accelerator feature their plain scripts bypass); the ~350
+    # per-leaf norm reduces cost ~10% of the 480px step. XFM_FT_CLIP=1
+    # A/Bs the clipped optimizer.
+    clip = 1.0 if os.environ.get("XFM_FT_CLIP", "0") == "1" else None
+    tx = create_optimizer(params, linear_warmup_decay(1e-4, 1000, 100),
+                          clip_grad_norm=clip)
     if os.environ.get("XFM_BF16_PARAMS", "0") == "1":
         tx = with_master_weights(tx)
     state = TrainState.create(params, tx)

@@ -78,7 +78,9 @@ def capture(mode: str, logdir: str) -> None:
     else:
         raise SystemExit(f"unknown mode {mode}")
 
-    tx = create_optimizer(params, linear_warmup_decay(1e-4, 1000, 100))
+    clip = 1.0 if os.environ.get("XFM_FT_CLIP", "0") == "1" else None
+    tx = create_optimizer(params, linear_warmup_decay(1e-4, 1000, 100),
+                          clip_grad_norm=clip)
     state = TrainState.create(params, tx)
 
     # same 6-step scan as bench_finetune._train_harness so the persistent

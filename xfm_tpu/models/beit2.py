@@ -26,6 +26,7 @@ kernel on TPU) with the rel-pos bias passed as a [1, H, N, N] additive bias.
 from __future__ import annotations
 
 import dataclasses
+import os
 from typing import Any, Optional
 
 import flax.linen as nn
@@ -158,11 +159,22 @@ class BeitAttention(nn.Module):
             table = self.param(
                 "relative_position_bias_table", nn.initializers.zeros,
                 (num_relative_distance(window), H))
+            from ..ops.attention import _on_tpu
             from ..ops.relpos import beit_rel_pos_bias
 
             # dense one-hot-matmul construction, bit-exact with the gather
-            # (ops/relpos.py) — the XLA gather was ~6 ms/step over 12 layers
-            rpb = beit_rel_pos_bias(table, window)     # [1, H, N, N]
+            # (ops/relpos.py) — the XLA gather was ~6 ms/step over 12
+            # layers. On the long-seq TPU kernel path the bias is carried
+            # bf16 (rounded once, post-construction): at N=901 the f32
+            # [H, 900, 900] interleave transpose + kernel bias DMA are
+            # ~12% of the whole step, and the kernel adds the bias to the
+            # f32 scores after an exact bf16→f32 upcast. XFM_BF16_RELPOS=0
+            # restores f32 end-to-end.
+            bias_dtype = jnp.float32
+            if (N >= 512 and _on_tpu()
+                    and os.environ.get("XFM_BF16_RELPOS", "1") == "1"):
+                bias_dtype = jnp.bfloat16
+            rpb = beit_rel_pos_bias(table, window, bias_dtype)  # [1,H,N,N]
             rel_pos_bias = rpb if rel_pos_bias is None else rel_pos_bias + rpb
 
         bias = rel_pos_bias

@@ -40,13 +40,19 @@ def _onehot_delta(w: int) -> np.ndarray:
     return oh.reshape(w * w, 2 * w - 1)
 
 
-def rel_pos_bias_2d(table, wh: int, ww: int):
+def rel_pos_bias_2d(table, wh: int, ww: int, out_dtype=jnp.float32):
     """Patch-patch rel-pos bias from the first (2wh-1)·(2ww-1) table rows.
 
     table: [(2wh-1)·(2ww-1) (+ extras, ignored), H] — row-major over
-    (row-delta, col-delta), the BEiT/Swin layout. → [H, wh·ww, wh·ww] f32,
-    bit-exact with ``table[idx]`` for finite tables.
-    """
+    (row-delta, col-delta), the BEiT/Swin layout. → [H, wh·ww, wh·ww],
+    bit-exact with ``table[idx]`` for finite tables at f32 (the one-hot
+    matmuls select exactly one element each).
+
+    ``out_dtype=bfloat16``: the construction matmuls stay f32-exact and
+    the result is rounded ONCE, before the final (a,ci)/(b,cj) interleave
+    transpose — at 480px that transpose moves [H, 900, 900] per layer and
+    is the dominant construction cost (profiled ~24 ms/step incl. its
+    AD transpose), so halving its bytes matters."""
     dh, dw = 2 * wh - 1, 2 * ww - 1
     h = table.shape[-1]
     t2d = table[: dh * dw].astype(jnp.float32).reshape(dh, dw * h)
@@ -54,21 +60,21 @@ def rel_pos_bias_2d(table, wh: int, ww: int):
     u = u.reshape(wh * wh, dw, h)
     u = jnp.transpose(u, (1, 0, 2)).reshape(dw, wh * wh * h)
     v = jnp.asarray(_onehot_delta(ww)) @ u                # [ww², wh²·H]
-    v = v.reshape(ww, ww, wh, wh, h)
+    v = v.astype(out_dtype).reshape(ww, ww, wh, wh, h)
     v = jnp.transpose(v, (4, 2, 0, 3, 1))                 # [H, a, ci, b, cj]
     return v.reshape(h, wh * ww, wh * ww)
 
 
-def beit_rel_pos_bias(table, window):
+def beit_rel_pos_bias(table, window, out_dtype=jnp.float32):
     """Full BEiT-2 bias incl. the 3 cls rows (reference models/beit2.py:
     99-116: row 0 = cls→all table[-3], col 0 = all→cls table[-2],
     [0,0] = cls→cls table[-1]). table: [(2wh-1)(2ww-1)+3, H] →
-    [1, H, 1+wh·ww, 1+wh·ww] f32."""
+    [1, H, 1+wh·ww, 1+wh·ww] in ``out_dtype``."""
     wh, ww = window
     h = table.shape[-1]
     p = wh * ww
-    patch = rel_pos_bias_2d(table, wh, ww)                # [H, P, P]
-    t = table[-3:].astype(jnp.float32)                    # [3, H]
+    patch = rel_pos_bias_2d(table, wh, ww, out_dtype)     # [H, P, P]
+    t = table[-3:].astype(out_dtype)                      # [3, H]
     c2a = jnp.broadcast_to(t[0][:, None, None], (h, 1, p))
     a2c = jnp.broadcast_to(t[1][:, None, None], (h, p, 1))
     cc = t[2][:, None, None]                              # [H, 1, 1]

@@ -116,12 +116,21 @@ def create_optimizer_from_config(params, config: dict,
                                  learning_rate) -> optax.GradientTransformation:
     opt = config.get("optimizer", {}) or {}
     acc = config.get("accelerator", {}) or {}
+    # Clipping is an ACCELERATOR feature in the reference (apex/DDP
+    # optimizer_step clips cfg.CLIP_GRAD_NORM — a REQUIRED key there,
+    # accelerators/*.py:41) — the plain fine-tune scripts (Retrieval/VQA/
+    # NLVR/Grounding_bbox/Captioning/glue) build bare torch AdamW and
+    # never clip. Mirror that exactly: clip iff the config sets
+    # accelerator.CLIP_GRAD_NORM (pretrain + *_O1 domain pretrains do).
+    # The ~350 per-leaf norm reduces are also ~10% of the 480px step
+    # (PERF.md r4).
+    clip = acc.get("CLIP_GRAD_NORM")
     return create_optimizer(
         params,
         learning_rate,
         weight_decay=opt.get("weight_decay", 0.01),
         lr_mult=opt.get("lr_mult", 1.0),
-        clip_grad_norm=acc.get("CLIP_GRAD_NORM", 1.0),
+        clip_grad_norm=clip,
     )
 
 
