@@ -321,14 +321,15 @@ def beit_large():
 def retrieval_rerank():
     """Eval stage 2, i2t direction as the task runs it: `chunk` unique
     images × k_test=256 text candidates each (reference Retrieval.py:141-152
-    — the eval cost center). XFM_EVAL_SHARED_KV=0 measures the reference's
-    repeat-the-image formulation; =1 (default) the unique-image + in-layer
-    k/v gather path (tasks/retrieval.py rerank_scores)."""
+    — the eval cost center). Default XFM_EVAL_SHARED_KV=0 = the repeat
+    formulation `tasks/retrieval.py rerank_scores` actually uses (shared-kv
+    measured 2× slower at 577 image tokens, PERF.md round-4 phase-4); =1
+    A/Bs the unique-image + in-layer k/v gather path."""
     from xfm_tpu.models.task_models import XFMForRetrieval
 
     k_test = int(os.environ.get("XFM_FT_KTEST", "256"))
     chunk = int(os.environ.get("XFM_FT_CHUNK", "8"))
-    shared = os.environ.get("XFM_EVAL_SHARED_KV", "1") == "1"
+    shared = os.environ.get("XFM_EVAL_SHARED_KV", "0") == "1"
     T = 40
     cfg = _xfm_config(image_res=384)
     model = XFMForRetrieval(cfg)

@@ -209,12 +209,18 @@ def _fused_attention_fwd_impl(q, k, v, bias, scale, interpret=False):
     return jnp.swapaxes(out[:, :, :Nq], 1, 2)
 
 
+def _loopq_vmem_limit() -> int:
+    """Per-call read of the carve-out knob (so setting XFM_KERNEL_VMEM_MB
+    after import behaves like the other env knobs)."""
+    return int(os.environ.get("XFM_KERNEL_VMEM_MB", "48")) * 1024 * 1024
+
+
 def _vmem_kwargs(interpret):
     """Per-kernel VMEM carve-out above the 16 MB scoped default (v5e has
     128 MiB physical) — lets the long-seq q-blocks stay large."""
     if _HAS_PLTPU and not interpret:
         return {"compiler_params": pltpu.CompilerParams(
-            vmem_limit_bytes=_LOOPQ_VMEM_LIMIT)}
+            vmem_limit_bytes=_loopq_vmem_limit())}
     return {}
 
 
@@ -320,13 +326,9 @@ def _pick_loopq_blk(Nq: int, Nqp_est: int, Nkp: int, D: int, sub: int,
             static += Nqp_est * Nkp * (bias_bytes + 4)  # bias in + f32 db
         else:
             static += 2 * Nkp * (bias_bytes + 4)
-    budget = _LOOPQ_VMEM_LIMIT - 4 * 1024 * 1024 - static
+    budget = _loopq_vmem_limit() - 4 * 1024 * 1024 - static
     cap = max(sub, budget // (8 * Nkp * 4) // sub * sub)
     return _pick_blk_q(Nq, sub, cap=cap)
-
-
-_LOOPQ_VMEM_LIMIT = int(os.environ.get("XFM_KERNEL_VMEM_MB", "48")) \
-    * 1024 * 1024
 
 
 def _attn_bwd_loopq_kernel(q_ref, k_ref, v_ref, do_ref, dq_ref, dk_ref,

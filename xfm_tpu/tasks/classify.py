@@ -162,7 +162,8 @@ def main(args, config: Optional[dict] = None):
         def pipelined_loss(params, batch, rng):
             # train-mode dropout: per-(stage, layer, microbatch, data-shard)
             # keys threaded through the pipeline consts (core/pipeline.py)
-            drng = rng if tcfg.hidden_dropout_prob > 0 else None
+            drng = rng if (tcfg.hidden_dropout_prob > 0
+                           or tcfg.attention_probs_dropout_prob > 0) else None
             pred = pipelined(params, batch["text_ids"], batch["text_atts"],
                              dropout_rng=drng)
             return cross_entropy(pred, batch["targets"]), {}
