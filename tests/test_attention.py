@@ -264,3 +264,85 @@ def test_fwd_blk_q_minimizes_padding():
     assert _pick_blk_q(577, 16) == 304     # 2 blocks of 304, not 2x512
     assert _pick_blk_q(901, 16) == 464     # 2 blocks
     assert _pick_blk_q(512, 16) == 512
+
+
+@pytest.mark.parametrize("window,B,H,D", [
+    ((4, 4), 2, 2, 8),    # N=17, single fwd q-block
+    ((6, 6), 1, 4, 16),   # N=37
+])
+def test_relpos_inkernel_matches_xla(window, B, H, D):
+    """In-kernel rel-pos expansion (compact block-Toeplitz form) vs the
+    XLA reference with the materialized beit_rel_pos_bias — forward and
+    all gradients incl. the table's."""
+    from xfm_tpu.ops.flash_attention import beit_attention_relpos
+    from xfm_tpu.ops.relpos import beit_rel_pos_bias
+
+    wh, ww = window
+    N = wh * ww + 1
+    q, k, v = rand((B, N, H, D), 0), rand((B, N, H, D), 1), \
+        rand((B, N, H, D), 2)
+    table = rand(((2 * wh - 1) * (2 * ww - 1) + 3, H), 3)
+    scale = D ** -0.5
+
+    def f_ref(q, k, v, t):
+        bias = beit_rel_pos_bias(t, window)
+        return jnp.sum(_xla_reference(q, k, v, bias, scale) ** 2)
+
+    def f_kern(q, k, v, t):
+        out = beit_attention_relpos(q, k, v, t, window, scale,
+                                    interpret=True)
+        return jnp.sum(out ** 2)
+
+    ref = _xla_reference(q, k, v, beit_rel_pos_bias(table, window), scale)
+    out = beit_attention_relpos(q, k, v, table, window, scale,
+                                interpret=True)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=2e-3,
+                               rtol=1e-2)
+
+    g_ref = jax.grad(f_ref, argnums=(0, 1, 2, 3))(q, k, v, table)
+    g_got = jax.grad(f_kern, argnums=(0, 1, 2, 3))(q, k, v, table)
+    for a, b in zip(g_ref, g_got):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=3e-3,
+                                   rtol=1e-2)
+
+
+def test_relpos_inkernel_blocked_fwd(monkeypatch):
+    """Forward q-blocking reads row slices of the VMEM bias scratch built
+    once per head."""
+    from xfm_tpu.ops.flash_attention import beit_attention_relpos
+    from xfm_tpu.ops.relpos import beit_rel_pos_bias
+
+    monkeypatch.setenv("XFM_FWD_QBLK_CAP", "16")  # 37 rows -> 3 blocks
+    window = (6, 6)
+    B, H, D = 2, 2, 8
+    N = 37
+    q, k, v = rand((B, N, H, D), 4), rand((B, N, H, D), 5), \
+        rand((B, N, H, D), 6)
+    table = rand(((2 * 6 - 1) ** 2 + 3, H), 7)
+    scale = D ** -0.5
+    ref = _xla_reference(q, k, v, beit_rel_pos_bias(table, window), scale)
+    out = beit_attention_relpos(q, k, v, table, window, scale,
+                                interpret=True)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=2e-3,
+                               rtol=1e-2)
+
+
+def test_relpos_inkernel_bf16_bias_matches_bf16_materialized():
+    """bias_dtype=bf16 must equal the materialized-bf16-bias kernel path
+    numerics (the compact form holds the same rounded values)."""
+    from xfm_tpu.ops.flash_attention import beit_attention_relpos
+    from xfm_tpu.ops.relpos import beit_rel_pos_bias
+
+    window = (4, 4)
+    B, H, D = 1, 2, 8
+    N = 17
+    q, k, v = rand((B, N, H, D), 8), rand((B, N, H, D), 9), \
+        rand((B, N, H, D), 10)
+    table = rand(((2 * 4 - 1) ** 2 + 3, H), 11)
+    scale = D ** -0.5
+    bias = beit_rel_pos_bias(table, window, jnp.bfloat16)
+    ref = _xla_reference(q, k, v, bias, scale)
+    out = beit_attention_relpos(q, k, v, table, window, scale,
+                                bias_dtype=jnp.bfloat16, interpret=True)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=2e-3,
+                               rtol=1e-2)

@@ -63,3 +63,70 @@ def test_beit_bias_grad_matches_gather():
     g_got = jax.grad(via_matmul)(table)
     np.testing.assert_allclose(np.asarray(g_got), np.asarray(g_ref),
                                rtol=0, atol=1e-5)
+
+
+@pytest.mark.parametrize("window", [(14, 14), (3, 5), (4, 4)])
+def test_compact_rel_pos_expands_to_full_bias(window):
+    """The block-Toeplitz compact form (consumed in-kernel by the long-seq
+    flash path) must expand to exactly beit_rel_pos_bias: stripe a of the
+    patch-patch bias is the contiguous lane slice cr[:, :, wh-1-a : 2wh-1-a, :]
+    and the cls row/col come from cls3."""
+    from xfm_tpu.ops.relpos import compact_rel_pos
+
+    wh, ww = window
+    n = wh * ww + 1
+    h = 4
+    rng = np.random.default_rng(3)
+    table = jnp.asarray(rng.standard_normal(
+        ((2 * wh - 1) * (2 * ww - 1) + 3, h), dtype=np.float32))
+    full = np.asarray(beit_rel_pos_bias(table, window))[0]  # [H, N, N]
+    cr, cls3 = compact_rel_pos(table, wh, ww)
+    cr = np.asarray(cr)      # [H, ww, 2wh-1, ww]
+    cls3 = np.asarray(cls3)  # [H, 3] = (cls->patch, patch->cls, cls->cls)
+
+    got = np.zeros_like(full)
+    got[:, 0, 0] = cls3[:, 2]
+    got[:, 0, 1:] = cls3[:, 0][:, None]
+    got[:, 1:, 0] = cls3[:, 1][:, None]
+    p = wh * ww
+    for a in range(wh):
+        stripe = cr[:, :, wh - 1 - a: 2 * wh - 1 - a, :]  # [H, ww, wh, ww]
+        got[:, 1 + a * ww: 1 + (a + 1) * ww, 1: 1 + p] = \
+            stripe.reshape(h, ww, p)
+    np.testing.assert_array_equal(got, full)
+
+
+def test_compact_rel_pos_grad_matches_full():
+    """d(table) through compact_rel_pos equals d(table) through the full
+    construction when the cotangent is folded the way the kernel folds it."""
+    import jax
+    from xfm_tpu.ops.relpos import compact_rel_pos
+
+    window = (4, 4)
+    wh, ww = window
+    n = wh * ww + 1
+    h = 2
+    rng = np.random.default_rng(4)
+    table = jnp.asarray(rng.standard_normal(
+        ((2 * wh - 1) * (2 * ww - 1) + 3, h), dtype=np.float32))
+    ds = jnp.asarray(rng.standard_normal((h, n, n), dtype=np.float32))
+    p = wh * ww
+
+    def via_full(t):
+        return jnp.sum(beit_rel_pos_bias(t, window)[0] * ds)
+
+    def via_compact(t):
+        cr, cls3 = compact_rel_pos(t, wh, ww)
+        total = (jnp.sum(cls3[:, 2] * ds[:, 0, 0])
+                 + jnp.sum(cls3[:, 0] * jnp.sum(ds[:, 0, 1:], axis=-1))
+                 + jnp.sum(cls3[:, 1] * jnp.sum(ds[:, 1:, 0], axis=-1)))
+        for a in range(wh):
+            stripe = cr[:, :, wh - 1 - a: 2 * wh - 1 - a, :]
+            total += jnp.sum(stripe.reshape(h, ww, p)
+                             * ds[:, 1 + a * ww: 1 + (a + 1) * ww, 1: 1 + p])
+        return total
+
+    g_ref = jax.grad(via_full)(table)
+    g_got = jax.grad(via_compact)(table)
+    np.testing.assert_allclose(np.asarray(g_got), np.asarray(g_ref),
+                               rtol=0, atol=1e-5)

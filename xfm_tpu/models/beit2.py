@@ -160,6 +160,8 @@ class BeitAttention(nn.Module):
                 "relative_position_bias_table", nn.initializers.zeros,
                 (num_relative_distance(window), H))
             from ..ops.attention import _on_tpu
+            from ..ops.flash_attention import (beit_attention_relpos,
+                                               relpos_inkernel_ok)
             from ..ops.relpos import beit_rel_pos_bias
 
             # dense one-hot-matmul construction, bit-exact with the gather
@@ -174,6 +176,19 @@ class BeitAttention(nn.Module):
             if (N >= 512 and _on_tpu()
                     and os.environ.get("XFM_BF16_RELPOS", "1") == "1"):
                 bias_dtype = jnp.bfloat16
+            if (rel_pos_bias is None and attn_bias is None
+                    and (deterministic or c.attn_drop_rate == 0.0)
+                    and relpos_inkernel_ok(N, window)):
+                # long-seq TPU path: the bias never materializes — the
+                # kernel expands the compact block-Toeplitz form in VMEM
+                # (kills the [H, N, N] construction/DMA/db traffic, the
+                # ~12% 480px step share in PERF.md round-4)
+                q, k, v = jnp.split(qkv, 3, axis=-1)
+                out = beit_attention_relpos(
+                    q.reshape(B, N, H, D), k.reshape(B, N, H, D),
+                    v.reshape(B, N, H, D), table, window, D ** -0.5,
+                    bias_dtype).reshape(B, N, C)
+                return self._proj_out(out, deterministic)
             rpb = beit_rel_pos_bias(table, window, bias_dtype)  # [1,H,N,N]
             rel_pos_bias = rpb if rel_pos_bias is None else rel_pos_bias + rpb
 
@@ -204,13 +219,17 @@ class BeitAttention(nn.Module):
                 q, k, v, bias=bias, dropout_rate=c.attn_drop_rate,
                 dropout_rng=drop_rng, deterministic=deterministic)
             out = out.reshape(B, N, C)
+        return self._proj_out(out, deterministic)
+
+    def _proj_out(self, out, deterministic):
+        # shared tail: runs inside the compact __call__ trace on every path
+        c = self.config
         from ..ops.attention import name_attn_out
 
         out = name_attn_out(out)  # saved by the 'attn_out' remat policy
-        out = nn.Dense(C, name="proj", dtype=c.dtype,
+        out = nn.Dense(c.embed_dim, name="proj", dtype=c.dtype,
                        kernel_init=_rescaled_init(self.layer_id))(out)
-        out = nn.Dropout(c.drop_rate)(out, deterministic=deterministic)
-        return out
+        return nn.Dropout(c.drop_rate)(out, deterministic=deterministic)
 
 
 class BeitBlock(nn.Module):
@@ -343,8 +362,14 @@ class BeitVisionTransformer(nn.Module):
             if c.seq_shard:
                 x = constrain_seq_sharding(x)
 
-        # Drop cls, normalize patches, prepend mean-pooled patch feature
-        # (reference models/beit2.py:456-466).
+        return self.readout(x)
+
+    def readout(self, x):
+        """Drop cls, normalize patches, prepend mean-pooled patch feature
+        (reference models/beit2.py:456-466). Split out so the pipelined
+        block stack (core/pipeline.py pipelined_beit_forward) can reuse
+        the exact readout on its merged microbatches."""
+        c = self.config
         patches = x[:, 1:, :]
         if c.use_mean_pooling:
             patches = self.fc_norm(patches)

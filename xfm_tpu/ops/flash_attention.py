@@ -637,6 +637,338 @@ def _fused_attention_bwd_impl(q, k, v, bias, scale, g, interpret=False):
 
 
 # ---------------------------------------------------------------------------
+# In-kernel rel-pos bias: the long-sequence BEiT self-attention path.
+#
+# At 480px (N=901) the rel-pos bias is [H, 901, 901] — materializing it in
+# HBM costs ~12 ms/step of construction (the (a,ci)/(b,cj) interleave
+# transpose + its AD mirror, PERF.md round-4 floor decomposition) plus the
+# kernel bias DMA, and the backward writes a [H, 901, 1024] f32 db tensor
+# (~45 MB/layer) that XLA then reduces through the construction transpose.
+# But the bias is block-Toeplitz: only (2wh-1)·ww·ww distinct values per
+# head (ops/relpos.py compact_rel_pos). These kernels take the compact
+# [H, ww, (2wh-1)·ww] form (~150 KB/head at 480px), expand it ONCE per
+# head into a VMEM scratch that stays resident across the batch sweep, and
+# accumulate the bias gradient back into the compact form in VMEM — the
+# full-size bias never touches HBM in either direction.
+# ---------------------------------------------------------------------------
+
+
+def _relpos_scr_build(cr_ref, cls_ref, bias_scr, h, *, wh, ww):
+    """Expand compact rel-pos into the [Nqp, Nkp] bias scratch.
+
+    Layout (reference models/beit2.py:99-116): row 0 = [cls→cls,
+    cls→patch…], col 0 of rows 1… = patch→cls, rows 1+a·ww…: stripe a =
+    the contiguous cr lane slice at offset (wh-1-a)·ww. Padded rows/cols
+    hold 0 (cols are NEG_INF-masked after the bias add; padded q rows have
+    zero dO). cls_ref is the whole [H, 4] SMEM table (Mosaic requires SMEM
+    blocks be full-array or (8,128)-divisible), indexed by the h grid axis
+    (`h` is passed in: program_id is not interpretable inside pl.when)."""
+    c2a = cls_ref[h, 0]
+    a2c = cls_ref[h, 1]
+    cc = cls_ref[h, 2]
+    nqp, nkp = bias_scr.shape
+    p = wh * ww
+    col = jax.lax.broadcasted_iota(jnp.int32, (nqp, nkp), 1)
+    bias_scr[:, :] = jnp.where(col == 0, a2c, 0.0).astype(bias_scr.dtype)
+    col1 = jax.lax.broadcasted_iota(jnp.int32, (1, nkp), 1)
+    bias_scr[0:1, :] = jnp.where(col1 == 0, cc, c2a).astype(bias_scr.dtype)
+    for a in range(wh):
+        off = (wh - 1 - a) * ww
+        bias_scr[1 + a * ww: 1 + (a + 1) * ww, 1: 1 + p] = \
+            cr_ref[0, :, off: off + p]
+
+
+def _pad_d(x):
+    """Zero-pad the head dim 64→128 for the score contraction
+    (XFM_PAD_SCORE_K experiment: a [*, 64] contraction half-fills the MXU
+    K dim; padded fills it — measured −8.4% on isolated score matmuls,
+    PERF.md round-4 head-dim packing table)."""
+    return jnp.concatenate([x, jnp.zeros_like(x)], axis=-1)
+
+
+def _relpos_fwd_kernel(cls_ref, q_ref, k_ref, v_ref, cr_ref, o_ref,
+                       bias_scr, *, scale, nk_valid, wh, ww, blk_q,
+                       pad_score_k=False):
+    h = pl.program_id(0)
+    iq = pl.program_id(1)
+
+    @pl.when(jnp.logical_and(iq == 0, pl.program_id(2) == 0))
+    def _():
+        _relpos_scr_build(cr_ref, cls_ref, bias_scr, h, wh=wh, ww=ww)
+
+    q = _sq(q_ref).astype(jnp.float32) * scale
+    k = _sq(k_ref)
+    qq, kk = (q.astype(k.dtype), k)
+    if pad_score_k:
+        qq, kk = _pad_d(qq), _pad_d(kk)
+    s = jax.lax.dot_general(qq, kk,
+                            (((1,), (1,)), ((), ())),
+                            preferred_element_type=jnp.float32)
+    s = s + bias_scr[pl.ds(iq * blk_q, blk_q), :].astype(jnp.float32)
+    s = _mask_pad(s, nk_valid)
+    p = _softmax(s)
+    v = _sq(v_ref)
+    o = jax.lax.dot_general(p.astype(v.dtype), v,
+                            (((1,), (0,)), ((), ())),
+                            preferred_element_type=jnp.float32)
+    o_ref[0, 0] = o.astype(o_ref.dtype)
+
+
+def _relpos_bwd_kernel(cls_ref, q_ref, k_ref, v_ref, do_ref, cr_ref,
+                       dq_ref, dk_ref, dv_ref, dcr_ref, dcls_ref,
+                       bias_scr, ds_scr, *, scale, nk_valid, wh, ww,
+                       pad_score_k=False):
+    """Whole-q backward for one (h, b): ds accumulates into a VMEM scratch
+    across the batch sweep; on the last batch row the scratch is folded
+    into the compact dcr/dcls outputs (the exact transpose of the stripe
+    expansion — overlapping lane ranges accumulate)."""
+    h = pl.program_id(0)
+    b = pl.program_id(2)
+    b_last = pl.num_programs(2) - 1
+
+    @pl.when(b == 0)
+    def _():
+        _relpos_scr_build(cr_ref, cls_ref, bias_scr, h, wh=wh, ww=ww)
+
+    q = _sq(q_ref)
+    k = _sq(k_ref)
+    v = _sq(v_ref)
+    do = _sq(do_ref).astype(jnp.float32)
+
+    qs = (q.astype(jnp.float32) * scale).astype(q.dtype)
+    qsk, kk = (qs, k)
+    if pad_score_k:
+        qsk, kk = _pad_d(qs), _pad_d(k)
+    s = jax.lax.dot_general(qsk, kk, (((1,), (1,)), ((), ())),
+                            preferred_element_type=jnp.float32)
+    s = s + bias_scr[:, :].astype(jnp.float32)
+    s = _mask_pad(s, nk_valid)
+    p = _softmax(s)
+
+    pb = p.astype(do_ref.dtype)
+    dv = jax.lax.dot_general(pb, do.astype(pb.dtype),
+                             (((0,), (0,)), ((), ())),
+                             preferred_element_type=jnp.float32)
+    dov, vv = (do.astype(v.dtype), v)
+    if pad_score_k:
+        dov, vv = _pad_d(dov), _pad_d(vv)
+    dp = jax.lax.dot_general(dov, vv,
+                             (((1,), (1,)), ((), ())),
+                             preferred_element_type=jnp.float32)
+    ds = p * (dp - jnp.sum(p * dp, axis=-1, keepdims=True))
+    dsb = ds.astype(k.dtype)
+    dq = jax.lax.dot_general(dsb, k, (((1,), (0,)), ((), ())),
+                             preferred_element_type=jnp.float32) * scale
+    dk = jax.lax.dot_general(dsb, qs, (((0,), (0,)), ((), ())),
+                             preferred_element_type=jnp.float32)
+
+    dq_ref[0, 0] = dq.astype(dq_ref.dtype)
+    dk_ref[0, 0] = dk.astype(dk_ref.dtype)
+    dv_ref[0, 0] = dv.astype(dv_ref.dtype)
+
+    @pl.when(b == 0)
+    def _():
+        ds_scr[:, :] = ds
+
+    @pl.when(b > 0)
+    def _():
+        ds_scr[:, :] += ds
+
+    @pl.when(b == b_last)
+    def _():
+        dsm = ds_scr[:, :]
+        p_ = wh * ww
+        dcr_ref[0] = jnp.zeros_like(dcr_ref[0])
+        for a in range(wh):
+            off = (wh - 1 - a) * ww
+            dcr_ref[0, :, off: off + p_] += \
+                dsm[1 + a * ww: 1 + (a + 1) * ww, 1: 1 + p_]
+        dcc = jnp.sum(dsm[0:1, 0:1])
+        dc2a = jnp.sum(dsm[0:1, 1: 1 + p_])
+        da2c = jnp.sum(dsm[1: 1 + p_, 0:1])
+        # dcls block is [1, 8, 128] (Mosaic min-tile); values live in row 0
+        row = jax.lax.broadcasted_iota(jnp.int32, (8, 128), 0)
+        lane = jax.lax.broadcasted_iota(jnp.int32, (8, 128), 1)
+        vals = (jnp.where(lane == 0, dc2a, 0.0)
+                + jnp.where(lane == 1, da2c, 0.0)
+                + jnp.where(lane == 2, dcc, 0.0))
+        dcls_ref[0] = jnp.where(row == 0, vals, 0.0)
+
+
+def _relpos_shapes(q, window):
+    B, Nq, H, D = q.shape
+    wh, ww = window
+    if Nq != wh * ww + 1:
+        raise ValueError(f"relpos kernel needs N == wh*ww+1, got {Nq} vs "
+                         f"{window}")
+    sub = 16 if q.dtype == jnp.bfloat16 else 8
+    Nkp = _round_up(Nq, 128)
+    L = (2 * wh - 1) * ww
+    Lp = _round_up(L, 128)
+    return B, Nq, H, D, wh, ww, sub, Nkp, L, Lp
+
+
+def _relpos_pack_tables(cr, cls3, H, ww, L, Lp):
+    crp = jnp.pad(cr, ((0, 0), (0, 0), (0, Lp - L)))
+    clsp = jnp.pad(cls3.astype(jnp.float32), ((0, 0), (0, 1)))  # [H, 4]
+    return crp, clsp
+
+
+def _relpos_fwd_impl(q, k, v, cr, cls3, scale, window, interpret=False):
+    B, Nq, H, D, wh, ww, sub, Nkp, L, Lp = _relpos_shapes(q, window)
+    blk_q = _pick_blk_q(Nq, sub,
+                        cap=int(os.environ.get("XFM_FWD_QBLK_CAP", "512")))
+    Nqp = _round_up(Nq, blk_q)
+    qp = _prep(q, Nq, Nqp)
+    kp = _prep(k, Nq, Nkp)
+    vp = _prep(v, Nq, Nkp)
+    crp, clsp = _relpos_pack_tables(cr, cls3, H, ww, L, Lp)
+
+    grid = (H, Nqp // blk_q, B)
+    qspec = pl.BlockSpec((1, 1, blk_q, D), lambda h, i, b: (b, h, i, 0))
+    kvspec = pl.BlockSpec((1, 1, Nkp, D), lambda h, i, b: (b, h, 0, 0))
+    crspec = pl.BlockSpec((1, ww, Lp), lambda h, i, b: (h, 0, 0))
+    if _HAS_PLTPU:
+        clsspec = pl.BlockSpec((H, 4), lambda h, i, b: (0, 0),
+                               memory_space=pltpu.SMEM)
+        scr = pltpu.VMEM((Nqp, Nkp), cr.dtype)
+    else:  # pragma: no cover - CPU without the TPU pallas backend
+        raise NotImplementedError("relpos kernel needs pallas TPU backend")
+
+    out = pl.pallas_call(
+        functools.partial(_relpos_fwd_kernel, scale=scale, nk_valid=Nq,
+                          wh=wh, ww=ww, blk_q=blk_q,
+                          pad_score_k=os.environ.get(
+                              "XFM_PAD_SCORE_K", "0") == "1"),
+        grid=grid,
+        in_specs=[clsspec, qspec, kvspec, kvspec, crspec],
+        out_specs=qspec,
+        out_shape=jax.ShapeDtypeStruct((B, H, Nqp, D), q.dtype),
+        scratch_shapes=[scr],
+        interpret=interpret,
+        **_vmem_kwargs(interpret),
+    )(clsp, qp, kp, vp, crp)
+    return jnp.swapaxes(out[:, :, :Nq], 1, 2)
+
+
+def _relpos_bwd_impl(q, k, v, cr, cls3, scale, window, g, interpret=False):
+    B, Nq, H, D, wh, ww, sub, Nkp, L, Lp = _relpos_shapes(q, window)
+    Nqp = _round_up(Nq, sub)  # single whole-q block
+    qp = _prep(q, Nq, Nqp)
+    kp = _prep(k, Nq, Nkp)
+    vp = _prep(v, Nq, Nkp)
+    gp = _prep(g, Nq, Nqp)
+    crp, clsp = _relpos_pack_tables(cr, cls3, H, ww, L, Lp)
+
+    grid = (H, 1, B)
+    qspec = pl.BlockSpec((1, 1, Nqp, D), lambda h, i, b: (b, h, 0, 0))
+    kvspec = pl.BlockSpec((1, 1, Nkp, D), lambda h, i, b: (b, h, 0, 0))
+    crspec = pl.BlockSpec((1, ww, Lp), lambda h, i, b: (h, 0, 0))
+    clsspec = pl.BlockSpec((H, 4), lambda h, i, b: (0, 0),
+                           memory_space=pltpu.SMEM)
+
+    out_shapes = [
+        jax.ShapeDtypeStruct((B, H, Nqp, D), q.dtype),      # dq
+        jax.ShapeDtypeStruct((B, H, Nkp, D), jnp.float32),  # dk
+        jax.ShapeDtypeStruct((B, H, Nkp, D), jnp.float32),  # dv
+        jax.ShapeDtypeStruct((H, ww, Lp), jnp.float32),     # dcr
+        jax.ShapeDtypeStruct((H, 8, 128), jnp.float32),     # dcls (row 0)
+    ]
+    out_specs = [qspec, kvspec, kvspec, crspec,
+                 pl.BlockSpec((1, 8, 128), lambda h, i, b: (h, 0, 0))]
+
+    outs = pl.pallas_call(
+        functools.partial(_relpos_bwd_kernel, scale=scale, nk_valid=Nq,
+                          wh=wh, ww=ww,
+                          pad_score_k=os.environ.get(
+                              "XFM_PAD_SCORE_K", "0") == "1"),
+        grid=grid,
+        in_specs=[clsspec, qspec, kvspec, kvspec, qspec, crspec],
+        out_specs=out_specs,
+        out_shape=out_shapes,
+        scratch_shapes=[pltpu.VMEM((Nqp, Nkp), cr.dtype),
+                        pltpu.VMEM((Nqp, Nkp), jnp.float32)],
+        interpret=interpret,
+        **_vmem_kwargs(interpret),
+    )(clsp, qp, kp, vp, gp, crp)
+
+    def unprep(x, n):
+        return jnp.swapaxes(x[:, :, :n], 1, 2)
+
+    dq = unprep(outs[0], Nq)
+    dk = unprep(outs[1].astype(k.dtype), Nq)
+    dv = unprep(outs[2].astype(v.dtype), Nq)
+    dcr = outs[3][:, :, :L]
+    dcls = outs[4][:, 0, :3]
+    return dq, dk, dv, dcr, dcls
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(5, 6, 7))
+def _relpos_core(q, k, v, crf, cls3, scale, window, interpret=False):
+    """Fused self-attention with the rel-pos bias expanded in VMEM.
+
+    q/k/v: [B, N, H, D] with N == wh·ww + 1. crf: compact bias
+    [H, ww, (2wh-1)·ww] (ops/relpos.py compact_rel_pos, flattened).
+    cls3: [H, 3] f32 (cls→patch, patch→cls, cls→cls). → [B, N, H·D-shaped
+    [B, N, H, D]]."""
+    return _relpos_fwd_impl(q, k, v, crf, cls3, scale, window, interpret)
+
+
+def _relpos_core_fwd(q, k, v, crf, cls3, scale, window, interpret):
+    out = _relpos_core(q, k, v, crf, cls3, scale, window, interpret)
+    return out, (q, k, v, crf, cls3)
+
+
+def _relpos_core_bwd(scale, window, interpret, res, g):
+    q, k, v, crf, cls3 = res
+    dq, dk, dv, dcr, dcls = _relpos_bwd_impl(q, k, v, crf, cls3, scale,
+                                             window, g, interpret)
+    return dq, dk, dv, dcr.astype(crf.dtype), dcls.astype(cls3.dtype)
+
+
+_relpos_core.defvjp(_relpos_core_fwd, _relpos_core_bwd)
+
+
+def beit_attention_relpos(q, k, v, table, window, scale,
+                          bias_dtype=jnp.float32, interpret=False):
+    """BEiT self-attention with in-kernel rel-pos bias expansion.
+
+    `table`: [(2wh-1)(2ww-1)+3, H] per-block rel-pos table (reference
+    models/beit2.py:92-116). Numerics match flash_attention with
+    beit_rel_pos_bias(table, window, bias_dtype): the compact form is
+    rounded to `bias_dtype` once (same values the full bias would hold)
+    and the kernel upcasts exactly when adding to the f32 scores. The
+    table gradient flows through compact_rel_pos by JAX AD — no
+    [H, N, N] db tensor, no scatter."""
+    from .relpos import compact_rel_pos
+
+    wh, ww = window
+    cr, cls3 = compact_rel_pos(table, wh, ww)
+    cr = cr.astype(bias_dtype)
+    # round cls entries exactly as the materialized bias would
+    cls3 = cls3.astype(bias_dtype).astype(jnp.float32)
+    H = q.shape[2]
+    crf = cr.reshape(H, ww, (2 * wh - 1) * ww)
+    return _relpos_core(q, k, v, crf, cls3, scale, window, interpret)
+
+
+def relpos_inkernel_ok(n: int, window) -> bool:
+    """Dispatch predicate for the in-kernel rel-pos path: long sequences
+    on the TPU backend where the unpacked flash kernel would run anyway
+    (the N=197 packed kernel keeps its materialized-bias scheme — the
+    construction is cheap at 224px). XFM_INKERNEL_RELPOS=0 restores the
+    materialized-bias kernels for A/B."""
+    if os.environ.get("XFM_INKERNEL_RELPOS", "1") != "1":
+        return False
+    if os.environ.get("XFM_DISABLE_FLASH", "0") == "1":
+        return False
+    if not (_HAS_PLTPU and _on_tpu_cached()):
+        return False
+    wh, ww = window
+    return n == wh * ww + 1 and n >= 512
+
+
+# ---------------------------------------------------------------------------
 # Packed-qkv kernel: the BEiT self-attention hot path.
 #
 # Input is the fused qkv projection's output [B, N, 3C] (C = H·D) — exactly

@@ -65,6 +65,40 @@ def rel_pos_bias_2d(table, wh: int, ww: int, out_dtype=jnp.float32):
     return v.reshape(h, wh * ww, wh * ww)
 
 
+def compact_rel_pos(table, wh: int, ww: int):
+    """Compact block-Toeplitz factorization of the BEiT rel-pos bias.
+
+    The full patch-patch bias ``bias[(a,ci),(b,cj),h] =
+    T2d[a-b+wh-1, ci-cj+ww-1, h]`` is a block-Toeplitz arrangement of
+    2wh-1 distinct [ww, ww] Toeplitz blocks per head — so the whole
+    [H, P, P] bias is redundant by a factor ~wh. This returns the compact
+    form the long-seq flash kernel expands **in VMEM** (killing the
+    [H, 900, 900] interleave transpose + its AD mirror + the bias HBM
+    materialization — the ~12 ms/step construction cost at 480px,
+    PERF.md round-4 floor decomposition):
+
+      cr  [H, ww, 2wh-1, ww]  with  cr[h, ci, e1, cj] =
+                                     T2d[2wh-2-e1, ci-cj+ww-1, h]
+      cls3 [H, 3] = (cls→patch table[-3], patch→cls table[-2],
+                     cls→cls table[-1])  (reference models/beit2.py:99-116)
+
+    The e1 axis is REVERSED so that query stripe ``a``'s bias rows are the
+    contiguous lane slice ``cr[h, :, wh-1-a : 2wh-1-a, :]`` flattened to
+    [ww, wh·ww] — inside the kernel each stripe is one static VMEM copy.
+    Built from the table by one tiny one-hot matmul (f32-exact, bit-equal
+    to the gather); differentiable, so the table gradient flows through
+    JAX AD with no scatter."""
+    dh, dw = 2 * wh - 1, 2 * ww - 1
+    h = table.shape[-1]
+    t2r = table[: dh * dw].astype(jnp.float32).reshape(dh, dw, h)[::-1]
+    oh = jnp.asarray(_onehot_delta(ww))                   # [ww², dw]
+    u = jnp.einsum("pd,edh->peh", oh, t2r)                # [ww², dh, H]
+    cr = u.reshape(ww, ww, dh, h).transpose(3, 0, 2, 1)   # [H, ci, e1, cj]
+    cls3 = jnp.stack([table[-3], table[-2], table[-1]],
+                     axis=-1).astype(jnp.float32)         # [H, 3]
+    return cr, cls3
+
+
 def beit_rel_pos_bias(table, window, out_dtype=jnp.float32):
     """Full BEiT-2 bias incl. the 3 cls rows (reference models/beit2.py:
     99-116: row 0 = cls→all table[-3], col 0 = all→cls table[-2],
