@@ -508,6 +508,212 @@ def make_xfm_losses():
               bbox=loss_bbox, giou=loss_giou).items()})
 
 
+class _HFAdamW(torch.optim.Optimizer):
+    """The `transformers.optimization.AdamW` the reference imports
+    (reference optim.py:1,48; removed from the installed transformers),
+    re-implemented from its published algorithm: Adam with bias correction
+    folded into the step size (eps is added to sqrt(v) BEFORE the
+    bias-correction scaling, unlike torch.optim.AdamW) and decoupled weight
+    decay applied to the post-update parameter at lr·wd."""
+
+    def __init__(self, params, lr, betas=(0.9, 0.999), eps=1e-6,
+                 weight_decay=0.0, correct_bias=True):
+        super().__init__(params, dict(lr=lr, betas=betas, eps=eps,
+                                      weight_decay=weight_decay,
+                                      correct_bias=correct_bias))
+
+    @torch.no_grad()
+    def step(self, closure=None):
+        import math
+
+        for group in self.param_groups:
+            for p in group["params"]:
+                if p.grad is None:
+                    continue
+                state = self.state[p]
+                if not state:
+                    state["step"] = 0
+                    state["exp_avg"] = torch.zeros_like(p)
+                    state["exp_avg_sq"] = torch.zeros_like(p)
+                m, v = state["exp_avg"], state["exp_avg_sq"]
+                b1, b2 = group["betas"]
+                state["step"] += 1
+                m.mul_(b1).add_(p.grad, alpha=1.0 - b1)
+                v.mul_(b2).addcmul_(p.grad, p.grad, value=1.0 - b2)
+                denom = v.sqrt().add_(group["eps"])
+                step_size = group["lr"]
+                if group["correct_bias"]:
+                    step_size *= (math.sqrt(1.0 - b2 ** state["step"])
+                                  / (1.0 - b1 ** state["step"]))
+                p.addcdiv_(m, denom, value=-step_size)
+                if group["weight_decay"] > 0.0:
+                    p.add_(p, alpha=-group["lr"] * group["weight_decay"])
+
+
+class _AttrDict(dict):
+    """The reference's config object supports both attribute and item
+    access (optim.py uses args.lr, scheduler.py uses args['...'])."""
+    __getattr__ = dict.__getitem__
+
+
+def make_trajectory():
+    """Training-trajectory parity fixture (VERDICT r4 #2): run the
+    reference's optimizer pipeline — optim.create_optimizer 4-group HF
+    AdamW (reference optim.py:4-50) + scheduler.create_scheduler linear
+    warmup/decay (reference scheduler.py:6-30) — for 6 steps from a shared
+    init on a fixed batch, and record the per-step loss sequences:
+
+    - 'ft': loss = ITC + ITM, bare optimizer, NO gradient clipping — the
+      fine-tune contract (reference Retrieval.py:318-322 builds bare AdamW;
+      model_retrieval.py:26-37 sums itc+itm);
+    - 'pt': loss = ITC + ITM + MLM + MIM with clip_grad_norm 1.0 — the
+      pretrain contract (reference Pretrain.py:141-247 via the apex
+      accelerator's clip, apex_ddp_accelerator.py:100-110).
+
+    Hard negatives are pinned per step (recorded draws), dropout is off
+    (model.eval()); this pins the optimizer/schedule/group/clip semantics
+    mechanically — the class of bug (round-4 grad-clip mismatch) that
+    forward-only fixtures cannot catch."""
+    import copy
+    import tempfile
+
+    import torch.distributed as dist
+
+    if not dist.is_initialized():
+        dist.init_process_group(
+            backend="gloo", init_method=f"file://{tempfile.mktemp()}",
+            world_size=1, rank=0)
+
+    import transformers.optimization as topt
+
+    if not hasattr(topt, "AdamW"):
+        topt.AdamW = _HFAdamW
+    import optim as ref_optim
+    import scheduler as ref_scheduler
+
+    tmpdir = tempfile.mkdtemp()
+    model0, _ = _tiny_reference_xfm(tmpdir)
+    seed_weights(model0, 11)
+    with torch.no_grad():
+        model0.temp.fill_(0.07)
+    model0.eval()  # deterministic forward; the trajectory pins optim math
+
+    r = np.random.RandomState(12)
+    B, T, M, N = 2, 9, 3, 16
+    S = 6
+    image = torch.from_numpy(r.randn(B, 3, 64, 64).astype(np.float32))
+    ids = torch.from_numpy(r.randint(3, 99, (B, T)).astype(np.int64))
+    atts = torch.ones(B, T, dtype=torch.long)
+    atts[1, 6:] = 0
+    ids_masked = torch.from_numpy(r.randint(3, 99, (B, T)).astype(np.int64))
+    masked_pos = torch.from_numpy(
+        np.stack([np.arange(1, M + 1)] * B).astype(np.int64))
+    masked_ids = torch.from_numpy(r.randint(3, 99, (B, M)).astype(np.int64))
+    mask = torch.zeros(B, N, dtype=torch.bool)
+    mask[:, :5] = True
+    # per-step pinned negatives, off-diagonal: [S, 2, B] (image then text)
+    negs = np.stack([
+        np.stack([(np.arange(B) + 1 + r.randint(0, B - 1, B)) % B
+                  for _ in range(2)]) for _ in range(S)])
+
+    lr, wd, lr_mult = 1e-3, 0.01, 2.0
+    sched_args = _AttrDict(sched="linear", lr=lr, weight_decay=wd,
+                           lr_mult=lr_mult, num_training_steps=10,
+                           num_warmup_steps=2)
+
+    def run(loss_fn, clip):
+        model = copy.deepcopy(model0)
+        optimizer = ref_optim.create_optimizer(sched_args, model)
+        scheduler = ref_scheduler.create_scheduler(sched_args, optimizer)
+        losses, comps, norms = [], [], []
+        for s in range(S):
+            neg_seq = iter(list(negs[s, 0]) + list(negs[s, 1]))
+
+            def fake_multinomial(weights, num, *a, **k):
+                return torch.tensor([int(next(neg_seq))])
+
+            mult = torch.multinomial
+            torch.multinomial = fake_multinomial
+            try:
+                loss, parts = loss_fn(model)
+            finally:
+                torch.multinomial = mult
+            optimizer.zero_grad()
+            loss.backward()
+            if clip:
+                norms.append(float(torch.nn.utils.clip_grad_norm_(
+                    model.parameters(), clip)))
+            optimizer.step()
+            scheduler.step()
+            losses.append(loss.item())
+            comps.append(parts)
+        return (np.asarray(losses), np.asarray(comps),
+                np.asarray(norms if norms else [0.0]))
+
+    def forward_common(model):
+        image_embeds, image_atts_t = model.get_vision_embeds(image)
+        text_embeds = model.get_text_embeds(ids, atts)
+        image_feat, text_feat = model.get_features(image_embeds, text_embeds)
+        loss_itc = model.get_contrastive_loss(image_feat, text_feat)
+        loss_itm = model.get_matching_loss(
+            image_embeds, image_atts_t, image_feat, ids, atts, text_feat,
+            text_embeds=text_embeds, is_pretrain=True)
+        return image_embeds, text_embeds, image_atts_t, loss_itc, loss_itm
+
+    def ft_loss(model):
+        _, _, _, loss_itc, loss_itm = forward_common(model)
+        return loss_itc + loss_itm, [loss_itc.item(), loss_itm.item()]
+
+    def masked_vision(model):
+        # mirrors forward_avgpool with our recorded mask (reference
+        # models/beit2.py:431-466) — same replay as make_xfm_losses, with
+        # grad enabled
+        ve = model.vision_encoder
+        x = ve.patch_embed(image)
+        w = mask.unsqueeze(-1).type_as(x)
+        mask_token = ve.mask_token.expand(x.shape[0], x.shape[1], -1)
+        xm = x * (1 - w) + mask_token * w
+        cls = ve.cls_token.expand(x.shape[0], -1, -1)
+        xm = torch.cat((cls, xm), dim=1)
+        rel = ve.rel_pos_bias() if ve.rel_pos_bias is not None else None
+        for blk in ve.blocks:
+            xm = blk(xm, rel_pos_bias=rel)
+        _, patches = torch.split(xm, [1, xm.shape[1] - 1], dim=1)
+        patches = ve.fc_norm(ve.norm(patches))
+        xm_cls = ve.avgpool(patches.transpose(1, 2)).transpose(1, 2)
+        return torch.cat([xm_cls, patches], dim=1)
+
+    def pt_loss(model):
+        (image_embeds, _, image_atts_t, loss_itc,
+         loss_itm) = forward_common(model)
+        loss_mlm = model.get_fuse_mlm_loss(ids_masked, atts, image_embeds,
+                                           image_atts_t, masked_pos,
+                                           masked_ids)
+        loss_mim = model.get_mim_loss(masked_vision(model), image_embeds,
+                                      mask)
+        loss = loss_itc + loss_itm + loss_mlm + loss_mim
+        return loss, [loss_itc.item(), loss_itm.item(), loss_mlm.item(),
+                      loss_mim.item()]
+
+    ft_losses, ft_comps, _ = run(ft_loss, clip=None)
+    pt_losses, pt_comps, pt_norms = run(pt_loss, clip=1.0)
+
+    np.savez(
+        os.path.join(OUT, "golden_trajectory.npz"),
+        image=image.numpy(), ids=ids.numpy(), atts=atts.numpy(),
+        ids_masked=ids_masked.numpy(), masked_pos=masked_pos.numpy(),
+        masked_ids=masked_ids.numpy(), mask=mask.numpy(), negs=negs,
+        lr=lr, weight_decay=wd, lr_mult=lr_mult,
+        num_training_steps=sched_args["num_training_steps"],
+        num_warmup_steps=sched_args["num_warmup_steps"],
+        ft_losses=ft_losses, ft_comps=ft_comps,
+        pt_losses=pt_losses, pt_comps=pt_comps, pt_grad_norms=pt_norms,
+        **{f"sd::{k}": v.numpy() for k, v in model0.state_dict().items()},
+    )
+    print("trajectory fixture: ft", np.round(ft_losses, 4),
+          "pt", np.round(pt_losses, 4), "norms", np.round(pt_norms, 3))
+
+
 def make_decode():
     """Greedy-decode parity fixture: reference RobertaForCausalLM with
     cross-attention decodes step-by-step with past_key_values; records the
@@ -636,6 +842,7 @@ def main():
     make_beit()
     make_roberta()
     make_xfm_losses()
+    make_trajectory()
     make_decode()
     make_clip_vit()
     make_swin()

@@ -9,11 +9,26 @@ from xfm_tpu.train.optim import (boost_mask, create_optimizer, decay_mask,
 
 
 def test_decay_and_boost_masks():
+    """Reference optim.py:17-25 is a NAME-substring no-decay list: `temp`,
+    LayerScale gammas and the head-MLP LayerNorm scales (torch Sequential
+    numeric names) all DECAY; encoder LayerNorm scales and anything named
+    *bias* do not."""
     params = {"layer": {"kernel": jnp.ones((4, 4)), "bias": jnp.ones(4)},
-              "itm_head": {"fc1": {"kernel": jnp.ones((4, 8))}},
+              "norm1": {"scale": jnp.ones(4), "bias": jnp.ones(4)},
+              "attn": {"q_bias": jnp.ones(4)},
+              "gamma_1": jnp.ones(4),
+              "mlm_head": {"layer_norm": {"scale": jnp.ones(4)}},
+              "itm_head": {"fc1": {"kernel": jnp.ones((4, 8))},
+                           "ln": {"scale": jnp.ones(8)}},
               "temp": jnp.ones(())}
     dm = decay_mask(params)
-    assert dm["layer"]["kernel"] and not dm["layer"]["bias"] and not dm["temp"]
+    assert dm["layer"]["kernel"] and not dm["layer"]["bias"]
+    assert not dm["norm1"]["scale"] and not dm["norm1"]["bias"]
+    assert not dm["attn"]["q_bias"]
+    assert not dm["mlm_head"]["layer_norm"]["scale"]
+    # torch names 'temp' / 'gamma_1' / 'itm_head.1.weight' match nothing in
+    # the no-decay list -> decayed in the reference, mirrored here
+    assert dm["temp"] and dm["gamma_1"] and dm["itm_head"]["ln"]["scale"]
     bm = boost_mask(params)
     assert bm["itm_head"]["fc1"]["kernel"] and bm["temp"]
     assert not bm["layer"]["kernel"]

@@ -35,7 +35,37 @@ def _path_str(path) -> str:
 
 
 def decay_mask(params):
-    return jax.tree.map(lambda p: jnp.ndim(p) > 1, params)
+    """True where weight decay applies — the reference's name-list rule
+    (reference optim.py:17-25), not a ndim heuristic.
+
+    The torch rule is a *substring* check over {bias, LayerNorm.weight/bias,
+    norm.weight/bias, norm1.*, norm2.*} on dotted parameter names. Mapped to
+    our tree paths:
+    - any leaf whose name contains 'bias' → no decay (Dense bias, q_bias/
+      v_bias, LayerNorm bias — all contain 'bias' in torch too);
+    - a LayerNorm 'scale' under a module whose name contains 'norm'
+      (LayerNorm/norm1/norm2/fc_norm/layer_norm/output_LayerNorm…) → no
+      decay. The itm/bbox/cls head MLP LayerNorms ('ln', 'ln0'…) stay
+      DECAYED: their torch modules are nn.Sequential children with numeric
+      names ('itm_head.1.weight') that match nothing in the no-decay list,
+      so the reference decays them — mirrored here on purpose.
+    - everything else decays — including the 0-d `temp`, LayerScale
+      gamma_1/2, cls/mask tokens, pos embeds and rel-pos tables, exactly as
+      the torch name-list does (none of those names match it).
+
+    (Until round 5 this used ndim > 1, which wrongly exempted temp,
+    gamma_1/2 and the head LayerNorm scales — caught by the trajectory
+    golden fixture.)"""
+
+    def one(path, _):
+        parts = [s.lower() for s in _path_str(path).split("/")]
+        if "bias" in parts[-1]:
+            return False
+        if parts[-1] == "scale" and any("norm" in s for s in parts[:-1]):
+            return False
+        return True
+
+    return jax.tree_util.tree_map_with_path(one, params)
 
 
 def boost_mask(params, patterns: Sequence[str] = DEFAULT_BOOST_PATTERNS):
@@ -70,6 +100,39 @@ def clip_by_global_norm_fused(max_norm: float) -> optax.GradientTransformation:
                                         update)
 
 
+def scale_by_hf_adam(b1: float = 0.9, b2: float = 0.98,
+                     eps: float = 1e-8) -> optax.GradientTransformation:
+    """Adam scaling with the `transformers.optimization.AdamW` update the
+    reference trains with (reference optim.py:1,48): eps is added to
+    sqrt(v) BEFORE the bias-correction scaling —
+        update = m · sqrt(1-b2^t)/(1-b1^t) / (sqrt(v) + eps)
+    — whereas optax/torch AdamW bias-correct v first and add eps after.
+    The difference is ~eps-level, but using the exact formulation keeps the
+    trajectory golden fixture (tests/test_trajectory_golden.py) tight
+    enough to catch real semantics drift."""
+
+    def init(params):
+        z = jax.tree.map(jnp.zeros_like, params)
+        return optax.ScaleByAdamState(count=jnp.zeros([], jnp.int32),
+                                      mu=z, nu=jax.tree.map(jnp.zeros_like,
+                                                            params))
+
+    def update(updates, state, params=None):
+        del params
+        mu = jax.tree.map(lambda m, g: b1 * m + (1 - b1) * g,
+                          state.mu, updates)
+        nu = jax.tree.map(lambda v, g: b2 * v + (1 - b2) * g * g,
+                          state.nu, updates)
+        count = state.count + 1
+        c = count.astype(jnp.float32)
+        step_size = jnp.sqrt(1.0 - b2 ** c) / (1.0 - b1 ** c)
+        upd = jax.tree.map(lambda m, v: m * step_size / (jnp.sqrt(v) + eps),
+                           mu, nu)
+        return upd, optax.ScaleByAdamState(count=count, mu=mu, nu=nu)
+
+    return optax.GradientTransformation(init, update)
+
+
 def create_optimizer(
     params,
     learning_rate: Callable[[int], float] | float,
@@ -102,7 +165,7 @@ def create_optimizer(
             chain.append(clip_by_global_norm_fused(clip_grad_norm))
         else:
             chain.append(optax.clip_by_global_norm(clip_grad_norm))
-    chain.append(optax.scale_by_adam(b1=b1, b2=b2, eps=eps))
+    chain.append(scale_by_hf_adam(b1=b1, b2=b2, eps=eps))
     if weight_decay:
         chain.append(optax.add_decayed_weights(weight_decay, mask=dmask))
     if lr_mult != 1.0:
