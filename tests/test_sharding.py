@@ -304,3 +304,29 @@ print("compiled-ok")
     assert "compiled-ok" in res.stdout, res.stderr[-2000:]
     assert "Involuntary full rematerialization" not in res.stderr, \
         [l for l in res.stderr.splitlines() if "Involuntary" in l][:2]
+
+
+@pytest.mark.slow
+def test_flagship_config_compiles_sharded(tmp_path):
+    """Flagship-scale sharded compile evidence (VERDICT r4 #3): AOT-compile
+    the REAL 327M config (12L x 3 towers, hidden 768, 224px, vocab 50265)
+    on the dp2 x fsdp2 x tp2 mesh; params must land sharded (no >=0.5 MB
+    replicated leaf, <5% replicated bytes — asserted inside
+    scripts/flagship_compile.py) and the SPMD partitioner must emit no
+    involuntary-remat warnings."""
+    import os
+    import subprocess
+    import sys
+
+    root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    env = dict(os.environ,
+               XLA_FLAGS="--xla_force_host_platform_device_count=8",
+               JAX_PLATFORMS="cpu")
+    env.pop("JAX_COMPILATION_CACHE_DIR", None)  # force a real compile
+    res = subprocess.run(
+        [sys.executable, os.path.join(root, "scripts", "flagship_compile.py")],
+        env=env, capture_output=True, text=True, timeout=1800)
+    assert "flagship-ok" in res.stdout, (res.stdout[-1000:],
+                                         res.stderr[-2000:])
+    assert "Involuntary full rematerialization" not in res.stderr, \
+        [l for l in res.stderr.splitlines() if "Involuntary" in l][:2]

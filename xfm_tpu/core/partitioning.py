@@ -37,6 +37,11 @@ DEFAULT_RULES: Sequence[tuple[str, P]] = (
     (r".*(position_embeddings|token_type_embeddings)/embedding$", P(None, FSDP_AXIS)),
     # --- generic 2D kernels: fsdp on the bigger (input) dim ---------------
     (r".*/kernel$", P(FSDP_AXIS, None)),
+    # BEiT patch embed is a bare param named patch_embed_kernel ([P²·3, C]),
+    # not a Dense '/kernel' — without its own rule it silently replicated
+    # 2.3 MB/layer0 (caught by scripts/flagship_compile.py's no-large-
+    # replicated assertion).
+    (r".*patch_embed_kernel$", P(FSDP_AXIS, None)),
     # --- everything else (biases, LayerNorm scales, cls tokens, rel-pos
     #     tables, LayerScale gammas, temp) is small: replicate -------------
     (r".*", P()),

@@ -245,6 +245,46 @@ def beit_stage_fn(config):
     return fn
 
 
+def pipelined_beit_forward(vision_params: Any, config, images,
+                           mesh: Mesh, num_microbatches: int,
+                           axis: str = PIPE_AXIS,
+                           data_axes: Sequence[str] = ()):
+    """BEiT-2 `forward_avgpool` ([avgpool ‖ patches] readout) with the
+    block stack staged over the ``pipe`` mesh axis — the beit2-large
+    (24-block) consumer (used by tasks/imagenet.py when parallel.pipe > 1).
+
+    Equivalent to ``BeitVisionTransformer.apply(...)`` for deterministic
+    forwards: the per-block rel-pos tables ride inside the stacked stage
+    params, patch-embed/cls run replicated before the pipeline, and the
+    fc_norm/avgpool readout runs replicated after
+    (models/beit2.py readout). drop_path/dropout are inference-off in the
+    staged blocks, matching eval and the linear-probe (frozen-backbone)
+    training path."""
+    from ..models.beit2 import BeitVisionTransformer
+
+    c = config
+    if c.use_shared_rel_pos_bias:
+        raise NotImplementedError(
+            "pipelined BEiT requires per-block rel-pos tables (the default);"
+            " the shared-table variant would need the table broadcast as a "
+            "pipeline const")
+    S = mesh.shape[axis]
+    if c.depth % S:
+        raise ValueError(f"{c.depth} blocks not divisible into {S} stages")
+    tower = BeitVisionTransformer(c)
+    x = tower.apply({"params": vision_params}, images,
+                    method=BeitVisionTransformer.embed)
+    stacked = stack_layer_params(vision_params, c.depth, fmt="block_{}")
+    stages = to_stages(stacked, S)
+    xs = split_microbatches(x, num_microbatches)
+    ys = pipeline_apply(stages, xs, None, beit_stage_fn(c), mesh,
+                        axis=axis, data_axes=data_axes)
+    y = merge_microbatches(ys)
+    out, _ = tower.apply({"params": vision_params}, y,
+                         method=BeitVisionTransformer.readout)
+    return out
+
+
 def pipelined_tower_forward(tower_params: Any, config, input_ids, attention_mask,
                             mesh: Mesh, num_microbatches: int,
                             axis: str = PIPE_AXIS,

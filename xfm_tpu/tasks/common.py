@@ -35,8 +35,9 @@ class TaskContext:
     def from_args(cls, args, overrides: Optional[dict] = None,
                   allow_pipe: bool = False) -> "TaskContext":
         """allow_pipe: tasks that actually consume the pipe mesh axis
-        (core.pipeline tower staging — currently the classify task's
-        text-only ablation) opt out of the pipe>1 guard below."""
+        (core.pipeline tower staging — the classify task's text-only
+        ablation and the imagenet task's BEiT vision tower) opt out of
+        the pipe>1 guard below."""
         cfg = load_config(args.config, overrides)
         cfg = resolve_vision_config(
             cfg, config_root=os.path.join(os.path.dirname(os.path.dirname(

@@ -119,25 +119,44 @@ def soft_ce(logits, soft_targets):
     return -jnp.mean(jnp.sum(soft_targets * logp, axis=-1))
 
 
-def evaluate(model, params, rows, transform, image_root, batch_size):
-    @jax.jit
-    def fwd(params, images):
-        return model.apply({"params": params}, images=images, train=False)
+def evaluate(model, params, rows, transform, image_root, batch_size,
+             fwd_fn=None):
+    """fwd_fn overrides the model forward (the pipelined vision path);
+    remainder eval batches are zero-padded to batch_size for it (the
+    pipeline needs a fixed microbatch split) and the padded rows sliced
+    away."""
+    if fwd_fn is None:
+        @jax.jit
+        def fwd(params, images):
+            return model.apply({"params": params}, images=images,
+                               train=False)
+    else:
+        fwd = jax.jit(fwd_fn)
 
     correct = total = 0
     for batch in batches(rows, transform, image_root, batch_size,
                          shuffle=False, drop_last=False):
-        pred = np.asarray(fwd(params, jnp.asarray(batch["images"])))
+        imgs = batch["images"]
+        n = len(batch["targets"])
+        if fwd_fn is not None and n < batch_size:
+            imgs = np.concatenate(
+                [imgs, np.zeros((batch_size - n,) + imgs.shape[1:],
+                                imgs.dtype)])
+        pred = np.asarray(fwd(params, jnp.asarray(imgs)))[:n]
         correct += int((pred.argmax(-1) == batch["targets"]).sum())
-        total += len(batch["targets"])
+        total += n
     return {"acc1": correct / max(total, 1)}
 
 
 def main(args, config: Optional[dict] = None):
-    ctx = TaskContext.from_args(args)
+    # this task consumes parallel.pipe: the vision block stack (the one
+    # shipped tower deep enough for it — beit2-large, 24 blocks) stages
+    # over the pipe mesh axis via core.pipeline.pipelined_beit_forward
+    ctx = TaskContext.from_args(args, allow_pipe=True)
     cfg = ctx.config
     image_res = cfg.get("image_res", 224)
     is_lp = bool(cfg.get("is_lp", False))
+    pipe = int((cfg.get("parallel", {}) or {}).get("pipe", 1) or 1)
 
     if cfg.get("dataset"):
         # Named probe dataset (reference Imagenet.py:43-177 DATASETS
@@ -159,6 +178,44 @@ def main(args, config: Optional[dict] = None):
     mcfg = config_from_yaml(cfg)
     model = XFMForClassification(mcfg, num_labels=num_labels,
                                  task_name="imagenet", is_lp=is_lp)
+
+    pipelined_fwd = None
+    if pipe > 1:
+        # GPipe-staged BEiT block stack (core/pipeline.py): stage params
+        # live one-per-device along the pipe axis, microbatches stream
+        # through with ppermute; patch-embed and the [avgpool ‖ patches]
+        # readout + DeepMLP head run replicated. The staged blocks run
+        # deterministic, so train-mode stochastic depth/dropout is only
+        # valid when those rates are 0 (or the backbone is frozen: is_lp).
+        from ..core.pipeline import pipelined_beit_forward
+        from ..models.task_models import DeepMLPHead
+
+        vcfg = mcfg.vision
+        if not (is_lp or (vcfg.drop_path_rate == 0
+                          and vcfg.drop_rate == 0
+                          and vcfg.attn_drop_rate == 0)):
+            raise NotImplementedError(
+                "parallel.pipe > 1 trains the staged vision blocks "
+                "deterministically: set drop_path_rate/dropout to 0 in the "
+                "vision config, or use is_lp (frozen backbone)")
+        micro = int((cfg.get("parallel", {}) or {}).get(
+            "microbatches", 2 * pipe))
+        data_axes = tuple(
+            a for a in ("data", "fsdp")
+            if dict(zip(ctx.mesh.axis_names, ctx.mesh.devices.shape))
+            .get(a, 1) > 1)
+        head = DeepMLPHead(num_labels, dtype=vcfg.dtype)
+
+        def pipelined_fwd(params, images):
+            with ctx.mesh:
+                emb = pipelined_beit_forward(
+                    params["backbone"]["vision_encoder"], vcfg, images,
+                    ctx.mesh, num_microbatches=micro, data_axes=data_axes)
+            if is_lp:
+                emb = jax.lax.stop_gradient(emb)
+            feats = jnp.concatenate(
+                [emb[:, 0, :], jnp.mean(emb[:, 1:, :], axis=1)], axis=-1)
+            return head.apply({"params": params["cls_head"]}, feats)
 
     bsz = cfg.get("batch_size", 64)
     steps_per_epoch = max(1, len(train_rows) // bsz)
@@ -205,7 +262,8 @@ def main(args, config: Optional[dict] = None):
     if args.evaluate:
         metrics = evaluate(model, state.params, val_rows,
                            ImagenetEvalTransform(image_res),
-                           cfg.get("image_root"), bsz)
+                           cfg.get("image_root"), bsz,
+                           fwd_fn=pipelined_fwd)
         print(metrics, flush=True)
         return metrics
 
@@ -219,7 +277,18 @@ def main(args, config: Optional[dict] = None):
             "mixup_mode 'pair'/'elem' not implemented; the reference config "
             "uses 'batch' (configs/xfm-ft/imagenet1k.yaml:38)")
 
+    if pipelined_fwd is not None and bsz % int(
+            (cfg.get("parallel", {}) or {}).get("microbatches", 2 * pipe)):
+        raise ValueError("batch_size must divide into pipeline microbatches")
+
     def loss_fn(params, batch, rng):
+        if pipelined_fwd is not None:
+            logits = pipelined_fwd(params, batch["images"])
+            if use_mix:
+                return soft_ce(logits, batch["targets"]), {}
+            from ..models.text_encoder import cross_entropy
+
+            return cross_entropy(logits, batch["targets"]), {}
         if use_mix:
             logits = model.apply({"params": params},
                                  images=batch["images"], train=False,
@@ -264,8 +333,9 @@ def main(args, config: Optional[dict] = None):
         state, stats = train_epoch(ctx, state, step_fn, loader(), rng,
                                    epoch, sched)
         metrics = evaluate(model, state.params, val_rows,
-                           ImagenetEvalTransform(image_res), cfg.get("image_root"),
-                           bsz)
+                           ImagenetEvalTransform(image_res),
+                           cfg.get("image_root"), bsz,
+                           fwd_fn=pipelined_fwd)
         append_log(ctx.out_dir, {"epoch": epoch, **stats, **metrics})
         if is_main_process():
             print(f"epoch {epoch}: {metrics}", flush=True)
