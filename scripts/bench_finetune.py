@@ -355,10 +355,17 @@ def retrieval_rerank():
     # a ~2.3x-inflated HBM liveness (multiple iterations' per-layer k/v
     # buffers held live) and OOM'd the row-gather path; single calls match
     # the production peak.
+    grouped = os.environ.get("XFM_EVAL_GROUPED", "0") == "1"
+
     @jax.jit
     def run(params, ie, te, ta, ri, salt):
         f = (1.0 + 1e-6 * salt).astype(ie.dtype)
-        if shared:
+        if grouped:
+            # grouped-batch: per-unique-image k/v, queries viewed per group
+            s = model.apply({"params": params}, ie * f, te, ta,
+                            image_group_size=k_test,
+                            method=XFMForRetrieval.itm_scores)
+        elif shared:
             s = model.apply({"params": params}, ie * f, te, ta,
                             image_row_idx=ri,
                             method=XFMForRetrieval.itm_scores)
@@ -375,6 +382,7 @@ def retrieval_rerank():
     _emit("retrieval_rerank_384px", rows / dt, "rows/s/chip",
           fwd / dt / peak_flops_per_chip(),
           {"k_test": k_test, "shared_kv": int(shared),
+           "grouped": int(grouped),
            "itm_forwards_per_s": round(chunk * k_test / dt, 1)})
 
 

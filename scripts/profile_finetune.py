@@ -75,6 +75,43 @@ def capture(mode: str, logdir: str) -> None:
             itc, itm = model.apply({"params": p}, *batch, deterministic=True,
                                    rngs={"hardneg": rng})
             return itc + itm, {}
+    elif mode == "retrieval_rerank":
+        # eval stage 2 forward (no train step): the 8-image × k_test=256
+        # ITM rerank chunk exactly as bench_finetune.retrieval_rerank times
+        from xfm_tpu.models.task_models import XFMForRetrieval
+
+        k_test = int(os.environ.get("XFM_FT_KTEST", "256"))
+        chunk = int(os.environ.get("XFM_FT_CHUNK", "8"))
+        T = 40
+        cfg = _xfm_config(image_res=384)
+        model = XFMForRetrieval(cfg)
+        Nv = cfg.vision.num_patches + 1
+        C = cfg.vision.embed_dim
+        img_embeds = jnp.asarray(r.randn(chunk, Nv, C), jnp.bfloat16)
+        txt_embeds = jnp.asarray(r.randn(chunk * k_test, T, C), jnp.bfloat16)
+        txt_atts = jnp.ones((chunk * k_test, T), jnp.int32)
+        images = jnp.asarray(r.randn(2, cfg.vision.image_res,
+                                     cfg.vision.image_res, 3), jnp.float32)
+        ids = jnp.ones((2, T), jnp.int32)
+        params = model.init({"params": jax.random.PRNGKey(0)}, images, ids,
+                            jnp.ones((2, T), jnp.int32),
+                            method=XFMForRetrieval.init_all)["params"]
+
+        @jax.jit
+        def run_eval(params, ie, te, ta, salt):
+            f = (1.0 + 1e-6 * salt).astype(ie.dtype)
+            s = model.apply({"params": params},
+                            jnp.repeat(ie * f, k_test, axis=0), te, ta,
+                            method=XFMForRetrieval.itm_scores)
+            return jnp.sum(s)
+
+        _ = float(run_eval(params, img_embeds, txt_embeds, txt_atts,
+                           jnp.float32(0.0)))
+        jax.profiler.start_trace(logdir)
+        _ = float(run_eval(params, img_embeds, txt_embeds, txt_atts,
+                           jnp.float32(1.0)))
+        jax.profiler.stop_trace()
+        return
     else:
         raise SystemExit(f"unknown mode {mode}")
 

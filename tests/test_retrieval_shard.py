@@ -74,3 +74,39 @@ def test_row_sliced_rerank_matches_full():
     merged = owner + other + 100.0
     np.testing.assert_allclose(merged[0], [-150.0, 3.5, -100.0, -100.0])
     np.testing.assert_allclose(merged[1], [-100.0, 7.0, -120.0, -100.0])
+
+
+def test_itm_scores_grouped_matches_repeat():
+    """Grouped-batch rerank (image_group_size) must equal the repeat
+    formulation: the k_test candidates of each unique image are contiguous,
+    cross-attention views them per group against per-unique k/v."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from xfm_tpu.models.task_models import XFMForRetrieval
+    from test_golden_parity import _xfm_losses_config
+
+    cfg = _xfm_losses_config()
+    model = XFMForRetrieval(cfg)
+    r = np.random.RandomState(0)
+    U, gs, T = 2, 3, 7
+    Nv = cfg.vision.num_patches + 1
+    C = cfg.vision.embed_dim
+    img = jnp.asarray(r.randn(U, Nv, C), jnp.float32)
+    txt = jnp.asarray(r.randn(U * gs, T, 48), jnp.float32)
+    atts = jnp.ones((U * gs, T), jnp.int32)
+    images = jnp.asarray(r.randn(2, cfg.vision.image_res,
+                                 cfg.vision.image_res, 3), jnp.float32)
+    ids = jnp.ones((2, T), jnp.int32)
+    params = model.init({"params": jax.random.PRNGKey(0)}, images, ids,
+                        jnp.ones((2, T), jnp.int32),
+                        method=XFMForRetrieval.init_all)["params"]
+
+    ref = model.apply({"params": params}, jnp.repeat(img, gs, axis=0), txt,
+                      atts, method=XFMForRetrieval.itm_scores)
+    got = model.apply({"params": params}, img, txt, atts,
+                      image_group_size=gs,
+                      method=XFMForRetrieval.itm_scores)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref), atol=1e-5,
+                               rtol=1e-5)

@@ -206,26 +206,39 @@ class XFMForRetrieval(nn.Module):
         return text_embeds, bb.get_features(text_embeds=text_embeds)
 
     def itm_scores(self, image_embeds, text_embeds, text_atts,
-                   deterministic=True, image_row_idx=None):
+                   deterministic=True, image_row_idx=None,
+                   image_group_size=None):
         """ITM rerank logit[:, 1] for eval stage 2
         (reference Retrieval.py:141-152).
 
         `image_row_idx` ([rows] int): image_embeds holds only the UNIQUE
         images and each scored row gathers its image by index — the fusion
         layers project cross k/v once per unique image instead of once per
-        (image × candidate) pair. In the i2t direction every image is
-        scored against k_test candidates, so this cuts the k/v projection
-        work k_test-fold (eval has no backward, so the scatter-add cost
-        that makes this a loss in training — PERF.md — does not apply)."""
+        (image × candidate) pair (measured 2× SLOWER at 577 image tokens:
+        the per-layer gathered-k/v materialization dominates, PERF.md r4).
+
+        `image_group_size` (static int): the grouped-batch formulation —
+        image_embeds holds the U unique images and text rows come in
+        contiguous runs of `image_group_size` candidates per image (the
+        i2t rerank shape). Cross-attention views the queries per unique
+        image, so the k/v are neither recomputed per candidate (the repeat
+        formulation's 256× redundant projections) nor gathered per layer
+        (the row-idx formulation's 1.8 GB/layer materialization) — see
+        PERF.md round-5 for the measured verdict."""
         bb = self.backbone
-        nrows = (image_row_idx.shape[0] if image_row_idx is not None
-                 else image_embeds.shape[0])
+        if image_group_size is not None:
+            nrows = image_embeds.shape[0]
+        elif image_row_idx is not None:
+            nrows = image_row_idx.shape[0]
+        else:
+            nrows = image_embeds.shape[0]
         image_atts = jnp.ones((nrows, image_embeds.shape[1]), jnp.int32)
         cross = bb.get_cross_embeds(image_embeds, image_atts,
                                     text_embeds=text_embeds,
                                     text_atts=text_atts, is_pretrain=False,
                                     deterministic=deterministic,
-                                    image_row_idx=image_row_idx)[:, 0, :]
+                                    image_row_idx=image_row_idx,
+                                    image_group_size=image_group_size)[:, 0, :]
         return bb.itm_head(cross)[:, 1]
 
 

@@ -199,12 +199,22 @@ class SelfAttention(nn.Module):
     @nn.compact
     def __call__(self, hidden, kv_source, attention_bias, deterministic=True,
                  decode=False, prob_gate=None, cross_from_cache=False,
-                 kv_row_idx=None):
+                 kv_row_idx=None, kv_group_size=None):
         """`kv_row_idx` ([B] int): cross-attention k/v are projected from the
         *unique* kv_source rows (e.g. B images) and gathered per hidden row —
         the ITM hard-negative pass re-reads each image up to 3x, and
         projecting once saves ~2/3 of the cross k/v matmul FLOPs (the
-        reference re-projects from gathered rows, models/xfm.py:788-795)."""
+        reference re-projects from gathered rows, models/xfm.py:788-795).
+
+        `kv_group_size` (static int): grouped-batch cross-attention —
+        kv_source holds U unique rows, hidden holds B = U·gs rows where
+        rows [u·gs, (u+1)·gs) all attend to kv row u. q is VIEWED as
+        [U, gs·Nq, H, D] (contiguous reshape, free) and attends against
+        the per-unique k/v: no repeat materialization, no per-layer
+        gather — the retrieval-rerank formulation (the k_test candidates
+        of one image are contiguous). attention_bias rows within a group
+        must be identical (they describe the shared kv row); the group's
+        first row is used."""
         c = self.config
         H = c.num_attention_heads
         D = c.hidden_size // H
@@ -289,11 +299,26 @@ class SelfAttention(nn.Module):
         drop_rng = None
         if not deterministic and c.attention_probs_dropout_prob > 0:
             drop_rng = self.make_rng("dropout")
-        ctx = dot_product_attention(
-            q, k, v, bias=attention_bias,
-            dropout_rate=c.attention_probs_dropout_prob,
-            dropout_rng=drop_rng, deterministic=deterministic,
-            prob_gate=prob_gate)
+        if kv_group_size and self.is_cross and not decode:
+            if prob_gate is not None:
+                raise NotImplementedError(
+                    "kv_group_size with prob_gate (GradCAM) unsupported")
+            gs = int(kv_group_size)
+            U = k.shape[0]
+            qg = q.reshape(U, gs * Nq, H, D)
+            bias_g = attention_bias
+            if bias_g is not None and bias_g.shape[0] == B:
+                bias_g = bias_g[::gs]
+            ctx = dot_product_attention(
+                qg, k, v, bias=bias_g,
+                dropout_rate=c.attention_probs_dropout_prob,
+                dropout_rng=drop_rng, deterministic=deterministic)
+        else:
+            ctx = dot_product_attention(
+                q, k, v, bias=attention_bias,
+                dropout_rate=c.attention_probs_dropout_prob,
+                dropout_rng=drop_rng, deterministic=deterministic,
+                prob_gate=prob_gate)
         ctx = ctx.reshape(B, Nq, c.hidden_size)
         from ..ops.attention import name_attn_out
 
@@ -317,7 +342,7 @@ class TransformerLayer(nn.Module):
     def __call__(self, hidden, attention_bias=None, encoder_hidden_states=None,
                  encoder_attention_bias=None, deterministic=True, decode=False,
                  cross_prob_gate=None, cross_from_cache=False,
-                 encoder_row_idx=None):
+                 encoder_row_idx=None, encoder_group_size=None):
         c = self.config
         x = SelfAttention(c, causal=c.is_decoder, name="attention")(
             hidden, hidden, attention_bias, deterministic, decode)
@@ -326,7 +351,8 @@ class TransformerLayer(nn.Module):
                 x, encoder_hidden_states, encoder_attention_bias,
                 deterministic, decode, prob_gate=cross_prob_gate,
                 cross_from_cache=cross_from_cache,
-                kv_row_idx=encoder_row_idx)
+                kv_row_idx=encoder_row_idx,
+                kv_group_size=encoder_group_size)
         h = nn.Dense(c.intermediate_size, name="intermediate_dense",
                      dtype=c.dtype)(x)
         h = ActDense(c.hidden_size, act=c.hidden_act, name="output_dense",
@@ -393,7 +419,8 @@ class TextTransformer(nn.Module):
                  encoder_hidden_states=None, encoder_attention_mask=None,
                  mode="multi_modal", deterministic=True, decode=False,
                  past_length=0, cross_gate=None, cross_gate_layer=None,
-                 cross_from_cache=False, encoder_row_idx=None):
+                 cross_from_cache=False, encoder_row_idx=None,
+                 encoder_group_size=None):
         c = self.config
         if inputs_embeds is not None:
             # encoder_embeds path: bypass embeddings entirely
@@ -438,6 +465,8 @@ class TextTransformer(nn.Module):
         extra = {}
         if encoder_row_idx is not None:
             extra["encoder_row_idx"] = encoder_row_idx
+        if encoder_group_size is not None:
+            extra["encoder_group_size"] = encoder_group_size
         if c.seq_shard:
             from ..core.mesh import constrain_seq_sharding
 

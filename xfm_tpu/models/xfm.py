@@ -339,7 +339,8 @@ class XFMBase(nn.Module):
 
     def get_cross_embeds(self, image_embeds, image_atts=None, text_ids=None,
                          text_embeds=None, text_atts=None, is_pretrain=True,
-                         deterministic=True, image_row_idx=None):
+                         deterministic=True, image_row_idx=None,
+                         image_group_size=None):
         """Fusion encoder with image cross-attention
         (reference models/xfm.py:659-680). In pretraining, precomputed text
         embeds are detached before fusion (reference models/xfm.py:674).
@@ -348,7 +349,13 @@ class XFMBase(nn.Module):
         images; cross k/v are projected once per unique image and gathered
         per row inside the attention layers (saves ~2/3 of the ITM
         hard-negative pass' cross-projection FLOPs vs re-projecting the
-        gathered rows as the reference does, models/xfm.py:788-795)."""
+        gathered rows as the reference does, models/xfm.py:788-795).
+
+        `image_group_size` (static int): grouped-batch variant — text rows
+        come in contiguous runs of `image_group_size` sharing one unique
+        image (the retrieval-rerank shape); cross-attention views q as
+        [U, gs·T, H, D] against per-unique k/v, so nothing is repeated OR
+        gathered (text_encoder.SelfAttention kv_group_size)."""
         if text_embeds is not None:
             x = jax.lax.stop_gradient(text_embeds) if is_pretrain \
                 else text_embeds
@@ -356,12 +363,14 @@ class XFMBase(nn.Module):
                 inputs_embeds=x, attention_mask=text_atts,
                 encoder_hidden_states=image_embeds,
                 encoder_attention_mask=image_atts,
-                deterministic=deterministic, encoder_row_idx=image_row_idx)
+                deterministic=deterministic, encoder_row_idx=image_row_idx,
+                encoder_group_size=image_group_size)
         return self.fusion_encoder(
             text_ids, attention_mask=text_atts,
             encoder_hidden_states=image_embeds,
             encoder_attention_mask=image_atts,
-            deterministic=deterministic, encoder_row_idx=image_row_idx)
+            deterministic=deterministic, encoder_row_idx=image_row_idx,
+            encoder_group_size=image_group_size)
 
     def get_features(self, image_embeds=None, text_embeds=None):
         """l2-normalized cls projections (reference models/xfm.py:614-621)."""

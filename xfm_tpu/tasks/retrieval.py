@@ -11,6 +11,7 @@ process.
 from __future__ import annotations
 
 import os
+from functools import partial
 from typing import Optional
 
 import jax
@@ -78,25 +79,38 @@ def rerank_scores(model, params, img_embeds, txt_embeds, txt_atts, sims,
         return model.apply({"params": params}, image_embeds, text_embeds,
                            text_atts, method=XFMForRetrieval.itm_scores)
 
+    @partial(jax.jit, static_argnums=(4,))
+    def itm_chunk_grouped(params, image_embeds, text_embeds, text_atts, gs):
+        return model.apply({"params": params}, image_embeds, text_embeds,
+                           text_atts, image_group_size=gs,
+                           method=XFMForRetrieval.itm_scores)
+
     n_img, n_txt = sims.shape
     score_i2t = np.full((n_img, n_txt), -100.0, np.float32)
     topk_t = np.argsort(-sims, axis=1)[:, :k_test]
     my_img_rows = np.arange(pid, n_img, pcount)
     for s in range(0, len(my_img_rows), chunk):
         rows = my_img_rows[s:s + chunk]
-        # reference formulation: repeat each image k_test times. The
-        # unique-image + in-layer k/v gather variant (itm_scores'
-        # image_row_idx) saves the per-candidate projections but measured
-        # 2x SLOWER here (4.8 vs 8.5 rows/s on v5e) — at 577 image tokens
-        # the [chunk*k_test, 577] gathered-k/v materialization costs more
-        # than the projections it saves. It stays the win where the
-        # re-used states are short (rank_answer's 40-token questions,
-        # +12%); see PERF.md round-4.
-        im = np.repeat(img_embeds[rows], k_test, axis=0)
+        # grouped-batch formulation (round 5): each image's k_test
+        # candidates are contiguous, so cross-attention views the queries
+        # per unique image against once-projected k/v — nothing is
+        # repeated (the reference formulation recomputes the k/v
+        # projections k_test× per image, Retrieval.py:141-152) and
+        # nothing is gathered per layer (the round-4 row-idx variant's
+        # loss). Measured 22.3 vs 8.4 rows/s (+166%) at 384px k_test=256
+        # on v5e; equality with the repeat formulation is pinned in
+        # tests/test_retrieval_shard.py. XFM_EVAL_GROUPED=0 restores the
+        # reference repeat formulation.
         cand = topk_t[rows].reshape(-1)
-        scores = itm_chunk(params, jnp.asarray(im),
-                           jnp.asarray(txt_embeds[cand]),
-                           jnp.asarray(txt_atts[cand]))
+        if os.environ.get("XFM_EVAL_GROUPED", "1") == "1":
+            scores = itm_chunk_grouped(params, jnp.asarray(img_embeds[rows]),
+                                       jnp.asarray(txt_embeds[cand]),
+                                       jnp.asarray(txt_atts[cand]), k_test)
+        else:
+            im = np.repeat(img_embeds[rows], k_test, axis=0)
+            scores = itm_chunk(params, jnp.asarray(im),
+                               jnp.asarray(txt_embeds[cand]),
+                               jnp.asarray(txt_atts[cand]))
         scores = np.asarray(scores).reshape(len(rows), k_test)
         for j, r in enumerate(rows):
             score_i2t[r, topk_t[r]] = scores[j]
