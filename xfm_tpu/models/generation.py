@@ -420,15 +420,23 @@ def _beam_generate_jit(model, params, images, *, bos_id, eos_id, pad_id,
             jnp.asarray([0.0] + [-1e9] * (K - 1), jnp.float32), (B, K))
 
     def gather_beams(tree, beam_idx):
-        def one(x):
+        def one(path, x):
             # skip non-batched leaves (e.g. the scalar cache index)
             if jnp.ndim(x) == 0 or x.shape[0] != B * K:
+                return x
+            # cross k/v caches are BEAM-INVARIANT: they are projected once
+            # from the K-repeated image embeds, so every beam of an image
+            # holds identical rows and the reorder is a semantic no-op.
+            # Skipping them removes the dominant beam cost — ~2 GB/step of
+            # [B·K, 577, H, D] gathers at 384px (measured: beam-3 384px B=32
+            # went 30.3 -> 131.9 img/s, 1/9 -> ~1/2 of greedy; PERF.md r5).
+            if any("cross_" in str(getattr(k, "key", k)) for k in path):
                 return x
             xb = x.reshape(B, K, *x.shape[1:])
             idx = beam_idx.reshape(B, K, *([1] * (x.ndim - 1)))
             return jnp.take_along_axis(xb, idx, axis=1).reshape(x.shape)
 
-        return jax.tree.map(one, tree)
+        return jax.tree_util.tree_map_with_path(one, tree)
 
     def step(carry, i):
         cache, scores, tok, done, seqs = carry
