@@ -423,7 +423,7 @@ def vqa_rank():
         lambda salt: rank(params, images, q_ids, q_atts, salt), 1)
     _emit("vqa_rank_480px", B / dt, "questions/s/chip", None,
           {"k": k, "answers": n_ans, "ms_per_batch": round(dt * 1e3, 1),
-           "shared_kv": os.environ.get("XFM_EVAL_SHARED_KV", "1")})
+           "shared_kv": os.environ.get("XFM_EVAL_SHARED_KV", "2")})
 
 
 def caption_decode():

@@ -222,6 +222,13 @@ def test_rank_answer_shared_kv_matches_repeat(monkeypatch):
     np.testing.assert_array_equal(np.asarray(ids0), np.asarray(ids1))
     np.testing.assert_allclose(np.asarray(probs0), np.asarray(probs1),
                                atol=1e-6, rtol=1e-5)
+    # round-5 grouped-batch default: per-question candidate groups viewed
+    # against once-projected k/v (no per-row gather)
+    monkeypatch.setenv("XFM_EVAL_SHARED_KV", "2")
+    ids2, probs2 = rank()
+    np.testing.assert_array_equal(np.asarray(ids0), np.asarray(ids2))
+    np.testing.assert_allclose(np.asarray(probs0), np.asarray(probs2),
+                               atol=1e-6, rtol=1e-5)
 
 
 def test_itm_scores_row_idx_matches_repeat():

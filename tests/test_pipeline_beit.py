@@ -98,8 +98,8 @@ def test_imagenet_task_consumes_pipe(tmp_path):
     cfg = dict(
         train_root=str(tmp_path / "train"), val_root=str(tmp_path / "val"),
         image_res=32, patch_size=8, use_beit_v2=True,
-        vision_config=dict(embed_dim=32, depth=8, num_heads=4,
-                           intermediate_size=64, drop_path_rate=0.0),
+        vision_embed_dim=32, vision_depth=8, vision_num_heads=4,
+        drop_path_rate=0.0,
         text_hidden_size=32, text_num_hidden_layers=1,
         text_fusion_start_at=1, fusion_num_hidden_layers=1,
         text_vocab_size=64, embed_dim=16,

@@ -90,13 +90,14 @@ class XFMForVQA(nn.Module):
 
     def decode_answers(self, answer_ids, answer_atts, question_states,
                        question_atts, deterministic=True,
-                       question_row_idx=None):
+                       question_row_idx=None, question_group_size=None):
         hidden = self.text_decoder(
             answer_ids, attention_mask=answer_atts,
             encoder_hidden_states=question_states,
             encoder_attention_mask=question_atts,
             deterministic=deterministic,
-            encoder_row_idx=question_row_idx)
+            encoder_row_idx=question_row_idx,
+            encoder_group_size=question_group_size)
         return self.text_decoder.mlm_logits(hidden, None)
 
     def __call__(self, images, q_ids, q_atts, answer_ids=None,
@@ -141,7 +142,18 @@ class XFMForVQA(nn.Module):
         # repeats; eval-only, so the gather backward never runs)
         cand_ids = jnp.take(answer_ids, topk_ids.reshape(-1), axis=0)
         cand_atts = jnp.take(answer_atts, topk_ids.reshape(-1), axis=0)
-        if os.environ.get("XFM_EVAL_SHARED_KV", "1") == "1":
+        mode = os.environ.get("XFM_EVAL_SHARED_KV", "2")
+        if mode == "2":
+            # grouped-batch (round 5, default): each question's k candidate
+            # rows are contiguous — cross-attention views them per question
+            # against once-projected k/v: no per-row gather at all (the
+            # round-4 row-idx formulation gathered [num_ques·k, 40, H, D]
+            # per layer; see PERF.md round-5 eval table)
+            qa = jnp.repeat(question_atts, k, axis=0)
+            logits = self.decode_answers(cand_ids, cand_atts,
+                                         question_states, qa,
+                                         question_group_size=k)
+        elif mode == "1":  # row-idx shared-kv (round-4 default)
             row_idx = jnp.repeat(jnp.arange(num_ques, dtype=jnp.int32), k)
             qa = jnp.take(question_atts, row_idx, axis=0)
             logits = self.decode_answers(cand_ids, cand_atts,
