@@ -163,3 +163,50 @@ def test_fused_mlp_parity_on_chip(tpu):
         rel = (jnp.abs(a.astype(jnp.float32) - x.astype(jnp.float32)).mean()
                / (jnp.abs(x.astype(jnp.float32)).mean() + 1e-8))
         assert float(rel) < 5e-2
+
+
+@pytest.mark.parametrize("window", [(24, 24), (30, 30)])
+def test_relpos_inkernel_parity_on_chip(tpu, window):
+    """In-kernel rel-pos expansion (compact block-Toeplitz form, round 5)
+    vs the materialized-bias XLA path on the compiled Mosaic lowering, at
+    the real 384px (N=577) and 480px (N=901) windows — fwd + full backward
+    incl. the table gradient folded back compact in VMEM."""
+    from xfm_tpu.ops.attention import dot_product_attention
+    from xfm_tpu.ops.flash_attention import beit_attention_relpos
+    from xfm_tpu.ops.relpos import beit_rel_pos_bias
+
+    wh, ww = window
+    B, H, D = 2, 12, 64
+    N = wh * ww + 1
+    ks = jax.random.split(jax.random.PRNGKey(2), 4)
+    q = jax.random.normal(ks[0], (B, N, H, D), jnp.bfloat16) * 0.5
+    k = jax.random.normal(ks[1], (B, N, H, D), jnp.bfloat16) * 0.5
+    v = jax.random.normal(ks[2], (B, N, H, D), jnp.bfloat16) * 0.5
+    table = jax.random.normal(
+        ks[3], ((2 * wh - 1) * (2 * ww - 1) + 3, H), jnp.float32) * 0.1
+    scale = D ** -0.5
+
+    def loss_kernel(q, k, v, t):
+        out = beit_attention_relpos(q, k, v, t, window, scale,
+                                    bias_dtype=jnp.bfloat16)
+        return jnp.sum(out.astype(jnp.float32) ** 2)
+
+    def loss_xla(q, k, v, t):
+        bias = beit_rel_pos_bias(t, window, jnp.bfloat16)
+        out = dot_product_attention(q, k, v, bias=bias, use_flash=False)
+        return jnp.sum(out.astype(jnp.float32) ** 2)
+
+    out_k = jax.jit(lambda *a: beit_attention_relpos(
+        *a, window, scale, bias_dtype=jnp.bfloat16))(q, k, v, table)
+    out_x = jax.jit(lambda q, k, v, t: dot_product_attention(
+        q, k, v, bias=beit_rel_pos_bias(t, window, jnp.bfloat16),
+        use_flash=False))(q, k, v, table)
+    assert _mae(out_k, out_x) < 5e-3
+
+    gk = jax.jit(jax.grad(loss_kernel, argnums=(0, 1, 2, 3)))(q, k, v,
+                                                              table)
+    gx = jax.jit(jax.grad(loss_xla, argnums=(0, 1, 2, 3)))(q, k, v, table)
+    for a, b, name in zip(gk, gx, ("dq", "dk", "dv", "dtable")):
+        rel = (jnp.abs(a.astype(jnp.float32) - b.astype(jnp.float32)).mean()
+               / (jnp.abs(b.astype(jnp.float32)).mean() + 1e-8))
+        assert float(rel) < 5e-2, (name, float(rel))

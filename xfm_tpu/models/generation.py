@@ -228,17 +228,24 @@ class XFMForCaptioning(nn.Module):
         return jnp.mean(per)
 
     def decode_step(self, token, image_embeds, image_atts, past_length=0,
-                    deterministic=True, cross_from_cache=False):
+                    deterministic=True, cross_from_cache=False,
+                    encoder_group_size=None):
         """One KV-cached decode step; called under mutable=['cache'].
         `past_length` keeps RoBERTa pad-offset positions correct across
         steps; with `cross_from_cache` the image k/v projections are read
-        from the cache written by the first step."""
+        from the cache written by the first step. `encoder_group_size=K`
+        is the beam-search shape: image_embeds holds the UNIQUE images and
+        each image's K beams are contiguous token rows — cross k/v are
+        projected (and cached) once per image, and cross-attention views
+        the beam queries per image (beam-3 384px: 131.9 → 279.3 img/s
+        — beam now runs at the greedy rate; PERF.md round-5)."""
         hidden = self.text_decoder(token, attention_mask=None,
                                    encoder_hidden_states=image_embeds,
                                    encoder_attention_mask=image_atts,
                                    deterministic=deterministic, decode=True,
                                    past_length=past_length,
-                                   cross_from_cache=cross_from_cache)
+                                   cross_from_cache=cross_from_cache,
+                                   encoder_group_size=encoder_group_size)
         return self.text_decoder.mlm_logits(hidden, None)[:, -1, :]
 
     def encode_images(self, images, deterministic=True):
@@ -408,12 +415,17 @@ def _beam_generate_jit(model, params, images, *, bos_id, eos_id, pad_id,
                                method=XFMForCaptioning.encode_images)
     B = image_embeds.shape[0]
     K = num_beams
-    image_embeds = jnp.repeat(image_embeds, K, axis=0)   # [B*K, N, D]
+    # image_embeds stay UNREPEATED: each image's K beams are contiguous
+    # query rows, cross-attention views them per image against
+    # once-projected (and once-cached) cross k/v (encoder_group_size) —
+    # K× less cross-kv projection/cache and K× less cross-attention kv
+    # traffic than repeating the image per beam.
     image_atts = jnp.ones(image_embeds.shape[:2], jnp.int32)
 
     bos = jnp.full((B * K, 1), bos_id, jnp.int32)
     logits, cache_vars = model.apply(
         {"params": params}, bos, image_embeds, image_atts, 0,
+        encoder_group_size=K,
         method=XFMForCaptioning.decode_step, mutable=["cache"])
     logp = jax.nn.log_softmax(logits.astype(jnp.float32), -1)
     logp = logp.reshape(B, K, -1)[:, 0, :]                # beams identical
@@ -455,6 +467,7 @@ def _beam_generate_jit(model, params, images, *, bos_id, eos_id, pad_id,
         logits, new_vars = model.apply(
             {"params": params, "cache": cache}, tok.reshape(B * K, 1),
             image_embeds, image_atts, i + 1, True, True,
+            encoder_group_size=K,
             method=XFMForCaptioning.decode_step, mutable=["cache"])
         logp = jax.nn.log_softmax(logits.astype(jnp.float32), -1)
         logp = logp.reshape(B, K, V)

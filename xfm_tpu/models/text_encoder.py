@@ -299,7 +299,10 @@ class SelfAttention(nn.Module):
         drop_rng = None
         if not deterministic and c.attention_probs_dropout_prob > 0:
             drop_rng = self.make_rng("dropout")
-        if kv_group_size and self.is_cross and not decode:
+        if kv_group_size and self.is_cross:
+            # also valid in decode: cross k/v are static per step and the
+            # cache holds the per-unique rows (beam search caches one image
+            # per beam GROUP, not per beam)
             if prob_gate is not None:
                 raise NotImplementedError(
                     "kv_group_size with prob_gate (GradCAM) unsupported")
