@@ -318,9 +318,11 @@ def _generate_jit(model, params, images, rng, *, bos_id, eos_id, pad_id,
     variables = {"params": params}
     image_embeds = model.apply({"params": params}, images,
                                method=XFMForCaptioning.encode_images)
-    if num_return_sequences > 1:
-        image_embeds = jnp.repeat(image_embeds, num_return_sequences, axis=0)
-    B = image_embeds.shape[0]
+    # n samples per image share the image: keep embeds unrepeated and view
+    # the sample rows per image in cross-attention (encoder_group_size) —
+    # the SCST 5-sample pass projects/caches cross k/v once per image
+    gs = num_return_sequences if num_return_sequences > 1 else None
+    B = image_embeds.shape[0] * num_return_sequences
     image_atts = jnp.ones(image_embeds.shape[:2], jnp.int32)
 
     if rng is None:
@@ -363,6 +365,7 @@ def _generate_jit(model, params, images, rng, *, bos_id, eos_id, pad_id,
     bos = jnp.full((B, 1), bos_id, jnp.int32)
     logits, cache_vars = model.apply(
         {"params": params}, bos, image_embeds, image_atts, 0,
+        encoder_group_size=gs,
         method=XFMForCaptioning.decode_step, mutable=["cache"])
     rng, sub = jax.random.split(rng)
     tok0, logp0, done0 = select(logits, jnp.zeros((B,), bool), sub, 1)
@@ -371,7 +374,7 @@ def _generate_jit(model, params, images, rng, *, bos_id, eos_id, pad_id,
         cache, tok, done, rng = carry
         logits, new_vars = model.apply(
             {"params": params, "cache": cache}, tok[:, None], image_embeds,
-            image_atts, i + 1, True, True,
+            image_atts, i + 1, True, True, encoder_group_size=gs,
             method=XFMForCaptioning.decode_step, mutable=["cache"])
         rng, sub = jax.random.split(rng)
         nxt, tok_logp, done = select(logits, done, sub, i + 2)

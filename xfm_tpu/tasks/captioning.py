@@ -249,12 +249,17 @@ def train_scst(ctx, cfg, model, state, train_data, tokenizer):
 
     def logp_fn(params, images, seqs):
         def run(m, images, full):
+            # the n sampled sequences of an image are contiguous rows:
+            # grouped cross-attention scores them against once-projected
+            # image k/v instead of repeating the embeds n_samples x
+            # (differentiable — the group's cotangents sum into the shared
+            # k/v, exactly the repeat formulation's gradient)
             image_embeds = m.backbone.get_vision_embeds(images)
-            image_embeds = jnp.repeat(image_embeds, n_samples, axis=0)
             atts = jnp.ones(image_embeds.shape[:2], jnp.int32)
             hidden = m.text_decoder(full, attention_mask=None,
                                     encoder_hidden_states=image_embeds,
-                                    encoder_attention_mask=atts)
+                                    encoder_attention_mask=atts,
+                                    encoder_group_size=n_samples)
             return m.text_decoder.mlm_logits(hidden, None)
 
         full = jnp.concatenate([jnp.full((seqs.shape[0], 1), bos,
