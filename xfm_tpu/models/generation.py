@@ -454,9 +454,10 @@ def _beam_generate_jit(model, params, images, *, bos_id, eos_id, pad_id,
             # cross k/v caches are BEAM-INVARIANT: they are projected once
             # from the K-repeated image embeds, so every beam of an image
             # holds identical rows and the reorder is a semantic no-op.
-            # Skipping them removes the dominant beam cost — ~2 GB/step of
-            # [B·K, 577, H, D] gathers at 384px (measured: beam-3 384px B=32
-            # went 30.3 -> 131.9 img/s, 1/9 -> ~1/2 of greedy; PERF.md r5).
+            # Skipping them removed the dominant beam cost at the time —
+            # ~2 GB/step of [B·K, 577, H, D] gathers (30.3 -> 131.9 img/s);
+            # with encoder_group_size the cross cache is per-image [B, ...]
+            # and this check also covers it structurally (PERF.md r5).
             if any("cross_" in str(getattr(k, "key", k)) for k in path):
                 return x
             xb = x.reshape(B, K, *x.shape[1:])
